@@ -1,0 +1,154 @@
+"""Volume rendering pipeline and occupancy-grid maintenance.
+
+Functional TPU-native equivalents of:
+- ``VolumeRenderer.forward`` (/root/reference/lib/models/decoders/base_volume_renderer.py:41-133)
+  — both the training path (march_rays_train + decode + composite) and the
+  inference alive-ray loop collapse into one dense masked pipeline here: the
+  alive-ray compaction was a GPU workaround for warp divergence; on TPU the
+  T_thresh mask in compositing provides the same semantics with zero host
+  syncs.
+- ``BaseNeRF.update_extra_state`` (/root/reference/lib/models/autodecoders/base_nerf.py:318-389)
+  and ``get_density`` (base_nerf.py:391-401).
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import near_far_from_aabb, march_rays, composite_rays
+from ...ops.morton import morton3d_invert, packbits
+
+
+def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
+                  grid_size, dt_gamma=0.0, perturb_key=None, T_thresh=1e-4,
+                  step_chunk: Optional[int] = None, deterministic=True,
+                  dropout_key=None):
+    """Render a batch of rays for a batch of scenes.
+
+    Args:
+        decoder: TriPlaneDecoder-like module (static).
+        params: decoder params pytree.
+        code: (num_scenes, 3, C, H, W) activated codes.
+        rays_o, rays_d: (num_scenes, N, 3).
+        density_bitfield: (num_scenes, grid_size**3 // 8) uint8.
+        dt_gamma: scalar or (num_scenes,) cone-stepping factors.
+        perturb_key: PRNG key for start-t jitter (None = no perturb).
+        step_chunk: decode the sample axis in chunks of this many steps
+            (bounds activation memory; rematerialized on backward).
+
+    Returns:
+        dict(weights_sum=(S, N), depth=(S, N), image=(S, N, 3)).
+    """
+    num_scenes, N = rays_o.shape[:2]
+    max_steps = decoder.max_steps
+    aabb = jnp.array([-decoder.bound] * 3 + [decoder.bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, decoder.min_near)
+
+    dt_gamma = jnp.broadcast_to(jnp.asarray(dt_gamma, jnp.float32), (num_scenes,))
+    if perturb_key is not None:
+        noise = jax.random.uniform(perturb_key, (num_scenes, N))
+    else:
+        noise = jnp.zeros((num_scenes, N))
+
+    march = jax.vmap(
+        lambda o, d, nr, fr, bf, dg, nz: march_rays(
+            o, d, nr, fr, bf, grid_size, decoder.bound, dg, max_steps, nz))
+    res = march(rays_o, rays_d, nears, fars, density_bitfield, dt_gamma, noise)
+    # res.*: (num_scenes, N, max_steps)
+
+    def decode_chunk(ts_c):
+        """Decode one chunk of the step axis: ts_c (S, N, K)."""
+        K = ts_c.shape[-1]
+        xyz = jnp.clip(
+            rays_o[:, :, None, :] + ts_c[..., None] * rays_d[:, :, None, :],
+            -decoder.bound, decoder.bound)
+        xyz = xyz.reshape(num_scenes, N * K, 3)
+        dirs = jnp.broadcast_to(rays_d[:, :, None, :],
+                                (num_scenes, N, K, 3)).reshape(num_scenes, N * K, 3)
+        rngs = {'dropout': dropout_key} if dropout_key is not None else {}
+        sig, rgb = decoder.apply(params, code, xyz, dirs,
+                                 deterministic=deterministic, rngs=rngs)
+        return (sig.reshape(num_scenes, N, K),
+                rgb.reshape(num_scenes, N, K, 3))
+
+    decode_chunk = jax.checkpoint(decode_chunk)
+
+    if step_chunk is None or step_chunk >= max_steps:
+        sigmas, rgbs = decode_chunk(res.ts)
+    else:
+        assert max_steps % step_chunk == 0
+        n_chunks = max_steps // step_chunk
+        ts_c = res.ts.reshape(num_scenes, N, n_chunks, step_chunk)
+        sig_c, rgb_c = jax.lax.map(decode_chunk, jnp.moveaxis(ts_c, 2, 0))
+        sigmas = jnp.moveaxis(sig_c, 0, 2).reshape(num_scenes, N, max_steps)
+        rgbs = jnp.moveaxis(rgb_c, 0, 2).reshape(num_scenes, N, max_steps, 3)
+
+    weights_sum, depth, image = composite_rays(
+        sigmas, rgbs, res.dts, res.ts, res.valid, T_thresh)
+    return dict(weights_sum=weights_sum, depth=depth, image=image)
+
+
+def _decode_density_all_voxels(decoder, params, code, key, grid_size,
+                               point_chunk=None):
+    """Density at every voxel center (Morton order) with intra-voxel jitter.
+
+    Matches the reference full-update path (base_nerf.py:328-350): voxel
+    coords are visited in Morton order, jitter noise is shared across scenes.
+    """
+    H = grid_size
+    num_scenes = code.shape[0]
+    coords = morton3d_invert(jnp.arange(H ** 3, dtype=jnp.int32))  # (H^3, 3)
+    xyzs = (coords.astype(jnp.float32) - (H - 1) / 2.0) * (2.0 * decoder.bound / H)
+    half_voxel = decoder.bound / H
+    xyzs = xyzs + jax.random.uniform(
+        key, xyzs.shape, minval=-half_voxel, maxval=half_voxel)
+    xyzs = jnp.broadcast_to(xyzs[None], (num_scenes, H ** 3, 3))
+    if point_chunk is None:
+        sigmas = decoder.apply(params, code, xyzs, density_only=True)[0]
+    else:
+        n_chunks = H ** 3 // point_chunk
+        xc = xyzs.reshape(num_scenes, n_chunks, point_chunk, 3)
+        sigmas = jax.lax.map(
+            lambda x: decoder.apply(params, code, x, density_only=True)[0],
+            jnp.moveaxis(xc, 1, 0))
+        sigmas = jnp.moveaxis(sigmas, 0, 1).reshape(num_scenes, H ** 3)
+    return sigmas
+
+
+def update_density_grid(decoder, params, code, density_grid, key,
+                        grid_size, density_thresh=0.01, decay=0.9,
+                        point_chunk=None):
+    """One full occupancy-grid update + bitfield repack.
+
+    The reference's partial/stochastic update path (base_nerf.py:352-376) is
+    unreachable in practice (``iter_density`` restarts at 0 every call site),
+    so only the full sweep is implemented; ``decay`` handles both the train
+    (0.9) and ``get_density`` (1.0) cases.
+
+    Returns (density_grid, density_bitfield, mean_density).
+    """
+    tmp = _decode_density_all_voxels(decoder, params, code, key, grid_size,
+                                     point_chunk)
+    tmp = jnp.minimum(tmp, float(jnp.finfo(density_grid.dtype).max)).astype(
+        density_grid.dtype)
+    valid = density_grid >= 0
+    density_grid = jnp.where(
+        valid, jnp.maximum(density_grid * decay, tmp), density_grid)
+    mean_density = jnp.mean(jnp.clip(density_grid.astype(jnp.float32), 0, None))
+    thresh = jnp.minimum(mean_density, density_thresh)
+    bitfield = packbits(density_grid.astype(jnp.float32), thresh)
+    return density_grid, bitfield, mean_density
+
+
+def get_density(decoder, params, code, key, grid_size, density_thresh=0.01,
+                density_step=8, point_chunk=None):
+    """Rebuild the density grid from scratch (base_nerf.py:391-401)."""
+    num_scenes = code.shape[0]
+    density_grid = jnp.zeros((num_scenes, grid_size ** 3), jnp.float16)
+    bitfield = jnp.zeros((num_scenes, grid_size ** 3 // 8), jnp.uint8)
+    for i in range(density_step):
+        key, sub = jax.random.split(key)
+        density_grid, bitfield, _ = update_density_grid(
+            decoder, params, code, density_grid, sub, grid_size,
+            density_thresh=density_thresh, decay=1.0, point_chunk=point_chunk)
+    return density_grid, bitfield

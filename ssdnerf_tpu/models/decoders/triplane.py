@@ -1,0 +1,125 @@
+"""Triplane NeRF decoder (Flax).
+
+TPU-native re-design of the reference TriPlaneDecoder
+(/root/reference/lib/models/decoders/triplane_decoder.py): the triplane
+bilinear lookup is a gather+lerp (ops.sample_triplane), the tiny MLPs run as
+large batched matmuls over all ray samples at once (MXU-friendly), and the
+SH direction encoding is fused in by XLA.
+"""
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops import sh_encode, trunc_exp, sample_triplane
+
+_ACT = {
+    'relu': jax.nn.relu,
+    'silu': jax.nn.silu,
+    'softplus': jax.nn.softplus,
+    'trunc_exp': trunc_exp,
+}
+
+
+class MLP(nn.Module):
+    """Stack of Dense layers with activation between them (not after the
+    last), mirroring the reference's base/density/color net construction
+    (triplane_decoder.py:57-90)."""
+    layers: Sequence[int]
+    activation: str = 'silu'
+    zero_init_last: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = _ACT[self.activation]
+        n = len(self.layers) - 1
+        for i in range(n):
+            is_last = i == n - 1
+            init = nn.initializers.zeros if (self.zero_init_last and is_last) \
+                else nn.initializers.xavier_uniform()
+            x = nn.Dense(self.layers[i + 1], kernel_init=init,
+                         bias_init=nn.initializers.zeros, name=f'dense_{i}')(x)
+            if not is_last:
+                x = act(x)
+        return x
+
+
+class TriPlaneDecoder(nn.Module):
+    """Triplane feature decoder + volume-renderer hyperparameters.
+
+    Config keys mirror the reference decoder cfg
+    (configs/paper_cfgs/ssdnerf_cars_uncond.py:39-50).
+    """
+    interp_mode: str = 'bilinear'
+    base_layers: Sequence[int] = (3 * 6, 64)
+    density_layers: Sequence[int] = (64, 1)
+    color_layers: Sequence[int] = (64, 3)
+    use_dir_enc: bool = True
+    dir_layers: Optional[Sequence[int]] = (16, 64)
+    activation: str = 'silu'
+    sigma_activation: str = 'trunc_exp'
+    sigmoid_saturation: float = 0.001
+    code_dropout: float = 0.0
+    flip_z: bool = False
+    # VolumeRenderer base attrs (base_volume_renderer.py:12-29)
+    bound: float = 1.0
+    min_near: float = 0.2
+    bg_radius: float = -1.0
+    max_steps: int = 256
+
+    @nn.compact
+    def __call__(self, code, xyzs, dirs=None, density_only=False,
+                 deterministic=True):
+        """Decode density (and color) at sample points.
+
+        Args:
+            code: (num_scenes, 3, C, H, W) activated triplane codes.
+            xyzs: (num_scenes, N, 3) points in [-bound, bound].
+            dirs: (num_scenes, N, 3) unit view directions (None if
+                density_only).
+            density_only: skip the color branch.
+
+        Returns:
+            sigmas (num_scenes, N) and rgbs (num_scenes, N, 3) or None.
+        """
+        num_scenes = code.shape[0]
+        if self.code_dropout > 0 and not deterministic:
+            # channel-wise 2D dropout over each plane (Dropout2d semantics)
+            rng = self.make_rng('dropout')
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.code_dropout, code.shape[:3] + (1, 1))
+            code = code * keep / (1.0 - self.code_dropout)
+
+        point_code = jax.vmap(
+            lambda c, x: sample_triplane(c, x, flip_z=self.flip_z)
+        )(code, xyzs)  # (num_scenes, N, 3*C)
+
+        act = _ACT[self.activation]
+        base_x = MLP(self.base_layers, self.activation, name='base_net')(point_code)
+        base_x_act = act(base_x)
+        sigma_raw = MLP(self.density_layers, self.activation,
+                        name='density_net')(base_x_act)
+        sigmas = _ACT[self.sigma_activation](sigma_raw).squeeze(-1)
+
+        rgbs = None
+        if not density_only:
+            if self.use_dir_enc:
+                sh = sh_encode(dirs, degree=4)
+                if self.dir_layers is not None:
+                    dir_out = MLP(self.dir_layers, self.activation,
+                                  zero_init_last=True, name='dir_net')(sh)
+                    color_in = act(base_x + dir_out)
+                else:
+                    color_in = jnp.concatenate([base_x_act, sh], axis=-1)
+            else:
+                color_in = base_x_act
+            rgb_raw = MLP(self.color_layers, self.activation,
+                          name='color_net')(color_in)
+            rgbs = jax.nn.sigmoid(rgb_raw)
+            if self.sigmoid_saturation > 0:
+                rgbs = rgbs * (1 + self.sigmoid_saturation * 2) - self.sigmoid_saturation
+        return sigmas, rgbs
+
+    def point_density_decode(self, code, xyzs):
+        return self(code, xyzs, density_only=True)[0]
