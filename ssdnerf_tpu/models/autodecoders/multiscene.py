@@ -1,0 +1,344 @@
+"""Multi-scene auto-decoder: scene cache + stage-1 training.
+
+TPU-native re-design of ``MultiSceneNeRF``
+(/root/reference/lib/models/autodecoders/multiscene_nerf.py):
+
+- The per-scene cache (code_, Adam moments, density grid/bitfield) is a
+  host-resident numpy store sharded by rank (contiguous ``split_data``
+  partitioning, distributed_sampler.py:28-41), with fp16 code / bf16 moment
+  variants (``cache_16bit``, multiscene_nerf.py:131-183).  Batch slices move
+  host<->device once per outer iteration; the whole inner loop runs on
+  device in a single jitted step.
+- ``train_step`` (multiscene_nerf.py:185-252) is one jitted function:
+  inverse_code scan + joint decoder/code update.
+"""
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import ml_dtypes
+
+from ..code_activations import build_code_activation
+from ..losses import build_pixel_loss, build_reg_loss
+from ..decoders.triplane import TriPlaneDecoder
+from ..decoders.renderer import update_density_grid
+from ...ops import get_cam_rays
+from .base import (SceneOptState, adam_init, adam_step, ray_sample,
+                   rendering_loss, inverse_code, render_views)
+
+
+def build_decoder(cfg):
+    cfg = dict(cfg)
+    kind = cfg.pop('type', 'TriPlaneDecoder')
+    assert kind == 'TriPlaneDecoder', kind
+    for k in ('base_layers', 'density_layers', 'color_layers', 'dir_layers'):
+        if cfg.get(k) is not None:
+            cfg[k] = tuple(cfg[k])
+    return TriPlaneDecoder(**cfg)
+
+
+def psnr(pred, target, axis=None):
+    mse = jnp.mean((pred - target) ** 2, axis=axis)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+class SceneCache:
+    """Host-side per-scene state store for this process's scene shard.
+
+    Layout mirrors the reference cache entries {code_, density_grid,
+    density_bitfield, optimizer(m, v, step)} (multiscene_nerf.py:146-155).
+    """
+
+    def __init__(self, cache_size, code_size, grid_size, cache_16bit=False,
+                 rank=0, world_size=1):
+        split = np.round(np.linspace(0, cache_size, world_size + 1)).astype(int)
+        self.offset = int(split[rank])
+        self.local_size = int(split[rank + 1] - split[rank])
+        self.cache_size = cache_size
+        self.code_size = tuple(code_size)
+        self.grid_size = grid_size
+        code_dtype = np.float16 if cache_16bit else np.float32
+        opt_dtype = ml_dtypes.bfloat16 if cache_16bit else np.float32
+        n, cs = self.local_size, self.code_size
+        self.code_ = np.zeros((n,) + cs, code_dtype)
+        self.m = np.zeros((n,) + cs, opt_dtype)
+        self.v = np.zeros((n,) + cs, opt_dtype)
+        self.step = np.zeros((n,), np.int32)
+        self.density_grid = np.zeros((n, grid_size ** 3), np.float16)
+        self.density_bitfield = np.zeros((n, grid_size ** 3 // 8), np.uint8)
+        self.seen = np.zeros((n,), bool)
+
+    def _local(self, scene_ids):
+        local = np.asarray(scene_ids) - self.offset
+        assert (0 <= local).all() and (local < self.local_size).all(), \
+            f'scene ids {scene_ids} outside local shard'
+        return local
+
+    def load(self, scene_ids, init_code_fn=None):
+        """Gather a batch. Unseen scenes get freshly initialized codes via
+        ``init_code_fn(num)`` -> (num, *code_size)."""
+        li = self._local(scene_ids)
+        code_ = self.code_[li].astype(np.float32)
+        unseen = ~self.seen[li]
+        if unseen.any() and init_code_fn is not None:
+            code_[unseen] = np.asarray(init_code_fn(int(unseen.sum())))
+        return dict(
+            code_=jnp.asarray(code_),
+            opt=SceneOptState(
+                m=jnp.asarray(self.m[li].astype(np.float32)),
+                v=jnp.asarray(self.v[li].astype(np.float32)),
+                step=jnp.asarray(self.step[li])),
+            density_grid=jnp.asarray(self.density_grid[li]),
+            density_bitfield=jnp.asarray(self.density_bitfield[li]))
+
+    def save(self, scene_ids, code_, opt: SceneOptState, density_grid,
+             density_bitfield):
+        li = self._local(scene_ids)
+        self.code_[li] = np.clip(
+            np.asarray(code_), np.finfo(self.code_.dtype).min,
+            np.finfo(self.code_.dtype).max).astype(self.code_.dtype)
+        self.m[li] = np.asarray(opt.m).astype(self.m.dtype)
+        self.v[li] = np.asarray(opt.v).astype(self.v.dtype)
+        self.step[li] = np.asarray(opt.step)
+        self.density_grid[li] = np.asarray(density_grid)
+        self.density_bitfield[li] = np.asarray(density_bitfield)
+        self.seen[li] = True
+
+    def state_dict(self):
+        return {k: getattr(self, k) for k in
+                ('code_', 'm', 'v', 'step', 'density_grid',
+                 'density_bitfield', 'seen')}
+
+    def load_state_dict(self, d):
+        for k, v in d.items():
+            getattr(self, k)[...] = v
+
+
+class MultiSceneNeRF:
+    """Stage-1 trainer (auto-decoding only).  Holds static config + modules;
+    all learnable/running state lives in explicit pytrees."""
+
+    def __init__(self, cfg, train_cfg=None, test_cfg=None):
+        cfg = dict(cfg)
+        cfg.pop('type', None)
+        self.code_size = tuple(cfg.get('code_size', (3, 8, 64, 64)))
+        self.code_activation = build_code_activation(
+            cfg.get('code_activation', {'type': 'TanhCode', 'scale': 1}))
+        self.grid_size = cfg.get('grid_size', 64)
+        self.decoder = build_decoder(cfg.get('decoder', {}))
+        self.decoder_use_ema = cfg.get('decoder_use_ema', False)
+        self.bg_color = cfg.get('bg_color', 1)
+        self.pixel_loss = build_pixel_loss(
+            cfg.get('pixel_loss', {'type': 'MSELoss'}))
+        self.reg_loss = build_reg_loss(cfg.get('reg_loss'))
+        self.update_extra_interval = cfg.get('update_extra_interval', 16)
+        self.init_from_mean = cfg.get('init_from_mean', False)
+        self.init_scale = cfg.get('init_scale', 1e-4)
+        self.mean_ema_momentum = cfg.get('mean_ema_momentum', 0.001)
+        self.mean_scale = cfg.get('mean_scale', 1.0)
+        self.cache_size = cfg.get('cache_size', 0)
+        self.cache_16bit = cfg.get('cache_16bit', False)
+        self.train_cfg = dict(train_cfg or {})
+        self.test_cfg = dict(test_cfg or {})
+        self.step_chunk = cfg.get('step_chunk', None)
+        self.density_point_chunk = cfg.get('density_point_chunk', None)
+
+    # -------------------------------------------------------------- #
+    # state
+    # -------------------------------------------------------------- #
+    def make_cache(self, rank=0, world_size=1):
+        return SceneCache(self.cache_size, self.code_size, self.grid_size,
+                          self.cache_16bit, rank, world_size)
+
+    def init_state(self, key, optimizer_cfg=None, lr_schedule=None):
+        """Initialize decoder params/EMA/optimizer and running buffers."""
+        k1, _ = jax.random.split(key)
+        dummy_code = jnp.zeros((1,) + self.code_size)
+        params = self.decoder.init(
+            k1, dummy_code, jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+        state = dict(decoder=params)
+        if self.decoder_use_ema:
+            state['decoder_ema'] = params
+        tx = self.make_optimizer(optimizer_cfg, lr_schedule, 'decoder')
+        state['opt_decoder'] = tx.init(params)
+        state['code_act'] = self.code_activation.init_state()
+        state['init_code'] = (jnp.zeros(self.code_size)
+                              if self.init_from_mean else None)
+        return state
+
+    @staticmethod
+    def make_optimizer(optimizer_cfg, lr_schedule, key_name):
+        cfg = dict(optimizer_cfg or {'type': 'Adam', 'lr': 1e-3})
+        kind = cfg.pop('type', 'Adam')
+        assert kind in ('Adam', 'AdamW'), kind
+        lr = lr_schedule if lr_schedule is not None else cfg.get('lr', 1e-3)
+        wd = cfg.get('weight_decay', 0.0)
+        if kind == 'AdamW' or wd:
+            return optax.adamw(lr, weight_decay=wd)
+        return optax.adam(lr)
+
+    def get_init_code_np(self, num, rng: np.random.RandomState,
+                         init_code=None):
+        """Fresh raw codes (base_nerf.py:184-192)."""
+        if init_code is None:
+            return rng.uniform(-self.init_scale, self.init_scale,
+                               (num,) + self.code_size).astype(np.float32)
+        inv = self.code_activation.inverse(
+            jnp.asarray(init_code) * self.mean_scale, None)
+        return np.broadcast_to(np.asarray(inv), (num,) + self.code_size).copy()
+
+    def cond_rays(self, data, cfg):
+        cond_poses = data['cond_poses']
+        cond_intrinsics = data['cond_intrinsics']
+        h, w = data['cond_imgs'].shape[2:4]
+        rays_o, rays_d = get_cam_rays(cond_poses, cond_intrinsics, h, w)
+        dt_gamma_scale = cfg.get('dt_gamma_scale', 0.0)
+        dt_gamma = dt_gamma_scale / cond_intrinsics[..., :2].mean(axis=(-2, -1))
+        return rays_o, rays_d, dt_gamma
+
+    # -------------------------------------------------------------- #
+    # stage-1 train step (multiscene_nerf.py:185-252)
+    # -------------------------------------------------------------- #
+    def train_step(self, state, scene_batch, data, key, tx):
+        """Jit-compatible stage-1 step.
+
+        Args:
+            state: model state dict (decoder params / opt / buffers).
+            scene_batch: dict from SceneCache.load.
+            data: dict of device arrays (cond_imgs/poses/intrinsics).
+            tx: optax optimizer for the decoder.
+
+        Returns (state, scene_batch, log_vars).
+        """
+        tc = self.train_cfg
+        cond_imgs = data['cond_imgs']
+        rays_o, rays_d, dt_gamma = self.cond_rays(data, tc)
+        extra_scene_step = tc.get('extra_scene_step', 0)
+
+        code_ = scene_batch['code_']
+        opt = scene_batch['opt']
+        grid = scene_batch['density_grid']
+        bitfield = scene_batch['density_bitfield']
+
+        key, k_inv, k_upd, k_ray, k_pert = jax.random.split(key, 5)
+        if extra_scene_step > 0:
+            code_, opt, grid, bitfield, aux = inverse_code(
+                self.decoder, state['decoder'], self.code_activation,
+                state['code_act'], rays_o, rays_d, cond_imgs, k_inv,
+                code_, opt, grid, bitfield,
+                grid_size=self.grid_size, pixel_loss=self.pixel_loss,
+                reg_loss=self.reg_loss, bg_color=self.bg_color,
+                dt_gamma=dt_gamma, n_inverse_steps=extra_scene_step,
+                n_inverse_rays=tc.get('n_inverse_rays', 4096),
+                loss_coef=tc.get('loss_coef'),
+                optimizer_cfg=tc.get('optimizer'),
+                density_thresh=tc.get('density_thresh', 0.01),
+                update_extra_interval=self.update_extra_interval,
+                step_chunk=self.step_chunk,
+                density_point_chunk=self.density_point_chunk)
+
+        # joint decoder + code step
+        code, new_act_state = self.code_activation(
+            code_, state['code_act'], update_stats=True)
+        grid, bitfield, _ = update_density_grid(
+            self.decoder, state['decoder'], code, grid, k_upd, self.grid_size,
+            density_thresh=tc.get('density_thresh', 0.01),
+            point_chunk=self.density_point_chunk)
+
+        n_decoder_rays = tc.get('n_decoder_rays', 4096)
+        b_rays_o, b_rays_d, target = ray_sample(
+            rays_o, rays_d, cond_imgs, n_decoder_rays, key=k_ray)
+        num_pixels = int(np.prod(cond_imgs.shape[1:4]))
+
+        def loss_fn(decoder_params, code__):
+            code = self.code_activation(code__, new_act_state)
+            loss, aux = rendering_loss(
+                self.decoder, decoder_params, code, bitfield, target,
+                b_rays_o, b_rays_d, self.grid_size, self.pixel_loss,
+                self.reg_loss, self.bg_color, dt_gamma, perturb_key=k_pert,
+                scale_num_ray=num_pixels, loss_coef=tc.get('loss_coef'),
+                step_chunk=self.step_chunk, deterministic=False)
+            return loss, aux
+
+        (loss, (out_rgbs, loss_dict)), (g_dec, g_code) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state['decoder'], code_)
+
+        updates, new_opt_dec = tx.update(g_dec, state['opt_decoder'],
+                                         state['decoder'])
+        new_decoder = optax.apply_updates(state['decoder'], updates)
+        opt_cfg = tc.get('optimizer', {})
+        code_, opt = adam_step(
+            code_, g_code, opt, opt_cfg.get('lr', 1e-2),
+            tuple(opt_cfg.get('betas', (0.9, 0.999))),
+            weight_decay=opt_cfg.get('weight_decay', 0.0))
+
+        state = dict(state, decoder=new_decoder, opt_decoder=new_opt_dec,
+                     code_act=new_act_state)
+        code = self.code_activation(code_, new_act_state)
+        if state.get('init_code') is not None:
+            state['init_code'] = (
+                (1 - self.mean_ema_momentum) * state['init_code']
+                + self.mean_ema_momentum * code.mean(axis=0))
+
+        log_vars = {k: v for k, v in loss_dict.items()}
+        log_vars.update(
+            loss=loss,
+            train_psnr=psnr(out_rgbs, target),
+            code_rms=jnp.sqrt(jnp.mean(code ** 2)))
+        scene_batch = dict(code_=code_, opt=opt, density_grid=grid,
+                           density_bitfield=bitfield)
+        return state, scene_batch, log_vars
+
+    # -------------------------------------------------------------- #
+    # evaluation / reconstruction (val_step recon path, base_nerf.py:622-673)
+    # -------------------------------------------------------------- #
+    def val_inverse_code(self, state, data, key, decoder_params=None):
+        """Test-time optimization of codes from cond views."""
+        tcfg = self.test_cfg
+        cond_imgs = data['cond_imgs']
+        rays_o, rays_d, dt_gamma = self.cond_rays(data, tcfg)
+        S = cond_imgs.shape[0]
+        rng = np.random.RandomState(0)
+        code_ = jnp.asarray(self.get_init_code_np(
+            S, rng, state.get('init_code')))
+        opt = adam_init(code_)
+        grid = jnp.zeros((S, self.grid_size ** 3), jnp.float16)
+        bitfield = jnp.zeros((S, self.grid_size ** 3 // 8), jnp.uint8)
+        if decoder_params is None:
+            decoder_params = state.get('decoder_ema', state['decoder']) \
+                if self.decoder_use_ema else state['decoder']
+        code_, opt, grid, bitfield, aux = inverse_code(
+            self.decoder, decoder_params, self.code_activation,
+            state['code_act'], rays_o, rays_d, cond_imgs, key,
+            code_, opt, grid, bitfield,
+            grid_size=self.grid_size, pixel_loss=self.pixel_loss,
+            reg_loss=self.reg_loss, bg_color=self.bg_color,
+            dt_gamma=dt_gamma,
+            n_inverse_steps=tcfg.get('n_inverse_steps', 1000),
+            n_inverse_rays=tcfg.get('n_inverse_rays', 4096),
+            loss_coef=tcfg.get('loss_coef'),
+            optimizer_cfg=tcfg.get('optimizer'),
+            lr_scheduler_cfg=tcfg.get('lr_scheduler'),
+            density_thresh=tcfg.get('density_thresh', 0.01),
+            update_extra_interval=self.update_extra_interval,
+            step_chunk=self.step_chunk,
+            density_point_chunk=self.density_point_chunk)
+        code = self.code_activation(code_, state['code_act'])
+        return code, grid, bitfield, aux
+
+    def render(self, state, code, density_bitfield, h, w, intrinsics, poses,
+               cfg=None, decoder_params=None):
+        cfg = cfg if cfg is not None else self.test_cfg
+        if decoder_params is None:
+            decoder_params = state.get('decoder_ema', state['decoder']) \
+                if self.decoder_use_ema else state['decoder']
+        return render_views(
+            self.decoder, decoder_params, code, density_bitfield,
+            self.grid_size, poses, intrinsics, h, w,
+            dt_gamma_scale=cfg.get('dt_gamma_scale', 0.0),
+            bg_color=self.bg_color,
+            max_render_rays=cfg.get('max_render_rays', -1),
+            step_chunk=self.step_chunk)
