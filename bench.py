@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: volumetric rendering throughput on the flagship model.
+
+Measures rays/sec for a full 128x128 render batch through the TPU-native
+pipeline (march -> triplane decode -> composite) with the flagship
+cars_uncond decoder and a realistically sparse occupancy bitfield, plus
+DDIM UNet steps/sec as a secondary statistic (printed to stderr).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is relative to BASELINE.json's north-star A100-class
+reference renderer throughput of 1e7 rays/sec (the reference publishes no
+throughput numbers, BASELINE.md "Not published by the reference").
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_RAYS_PER_SEC = 1.0e7
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ssdnerf_tpu.config import Config
+    from ssdnerf_tpu.registry import build_model
+    from ssdnerf_tpu.models.decoders.renderer import volume_render
+    from ssdnerf_tpu.ops import get_cam_rays
+    from tests.synthetic import look_at_pose
+
+    cfg = Config.fromfile(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        'configs/paper_cfgs/ssdnerf_cars_uncond.py'))
+    tc = dict(cfg.train_cfg)
+    tc.pop('cache_load_from', None)
+    model = build_model(cfg.model, train_cfg=tc, test_cfg=dict(cfg.test_cfg))
+
+    key = jax.random.PRNGKey(0)
+    S = 8
+    h = w = 128
+    code = 0.5 * jax.random.normal(key, (S,) + model.code_size)
+    params = model.decoder.init(
+        key, code[:1], jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+
+    # ~10% occupancy bitfield (mid-training realism)
+    occ = jax.random.uniform(key, (S, model.grid_size ** 3)) < 0.10
+    from ssdnerf_tpu.ops.morton import packbits
+    bitfield = packbits(occ.astype(jnp.float32), 0.5)
+
+    pose = look_at_pose(np.array([1.8, 0.6, 1.8]))
+    poses = jnp.asarray(np.broadcast_to(pose, (S, 1, 4, 4)).copy())
+    intr = jnp.asarray(np.broadcast_to(
+        np.array([131.25, 131.25, 64., 64.], np.float32), (S, 1, 4)).copy())
+    rays_o, rays_d = get_cam_rays(poses, intr, h, w)
+    rays_o = rays_o.reshape(S, h * w, 3)
+    rays_d = rays_d.reshape(S, h * w, 3)
+
+    @jax.jit
+    def render(code, rays_o, rays_d, bitfield):
+        out = volume_render(model.decoder, params, code, rays_o, rays_d,
+                            bitfield, model.grid_size,
+                            dt_gamma=0.5 / 131.25, T_thresh=1e-4)
+        return out['image']
+
+    img = render(code, rays_o, rays_d, bitfield)
+    jax.block_until_ready(img)
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        img = render(code, rays_o, rays_d, bitfield)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / n_iters
+    total_rays = S * h * w
+    rays_per_sec = total_rays / dt
+
+    # secondary: DDIM UNet steps/sec (stderr only)
+    try:
+        diff_params = model.diffusion.init_params(key, batch=S)
+        x = jax.random.normal(key, (S, 18, 128, 128))
+
+        @jax.jit
+        def unet_step(x):
+            return model.diffusion._apply_unet(
+                diff_params, x, jnp.zeros((S,), jnp.int32))
+
+        y = unet_step(x)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            y = unet_step(x)
+        jax.block_until_ready(y)
+        ddim_sps = 5 * S / (time.perf_counter() - t0)
+        print(f'[bench] ddim unet steps/sec (batch-items/s): {ddim_sps:.1f}',
+              file=sys.stderr)
+    except Exception as e:  # secondary stat must never break the bench
+        print(f'[bench] ddim bench skipped: {e}', file=sys.stderr)
+
+    print(json.dumps({
+        'metric': 'render_rays_per_sec_128res',
+        'value': round(rays_per_sec, 1),
+        'unit': 'rays/s',
+        'vs_baseline': round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

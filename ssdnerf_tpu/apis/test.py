@@ -1,0 +1,81 @@
+"""Offline evaluation API.
+
+Equivalent of ``evaluate_3d`` (/root/reference/lib/apis/test.py:12-69):
+iterate a validation dataset in batches, run the model's val_step, compute
+reconstruction metrics and feed generated renders to FID/KID metrics.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.builder import collate
+from .eval_utils import eval_and_viz
+
+
+def _val_batches(dataset, batch_size, max_num=None):
+    n = len(dataset) if max_num is None else min(len(dataset), max_num)
+    for i in range(0, n, batch_size):
+        ids = list(range(i, min(i + batch_size, n)))
+        pad = 0
+        if len(ids) < batch_size:
+            pad = batch_size - len(ids)
+            ids = ids + [ids[-1]] * pad
+        yield collate([dataset[j] for j in ids]), pad
+
+
+def evaluate_3d(model, state, dataset, batch_size=8, metrics=None,
+                viz_dir=None, sample_kwargs=None, max_num_scenes=None,
+                seed=0, log_fn=print):
+    """Returns aggregated log_vars dict; metric summaries are computed by
+    the caller via metric.summary()."""
+    metrics = metrics or []
+    sums = {}
+    weights = {}
+    total = 0
+    key = jax.random.PRNGKey(seed)
+    for batch, pad in _val_batches(dataset, batch_size, max_num_scenes):
+        key, sub = jax.random.split(key)
+        data = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                data[k] = jnp.asarray(v)
+            else:
+                data[k] = v
+        if 'code' in batch and isinstance(batch['code'], dict):
+            blob = batch['code']
+            if 'code' in blob:
+                data['code'] = jnp.asarray(blob['code'], jnp.float32)
+            elif 'code_' in blob:
+                data['code'] = model.code_activation(
+                    jnp.asarray(blob['code_'], jnp.float32),
+                    state.get('code_act'))
+            data['density_grid'] = jnp.asarray(blob['density_grid'])
+            data['density_bitfield'] = jnp.asarray(blob['density_bitfield'])
+
+        if 'code' in data:
+            code = data['code']
+            grid = data['density_grid']
+            bitfield = data['density_bitfield']
+        else:
+            code, grid, bitfield = model.val_step(state, data, sub)
+
+        num_valid = code.shape[0] - pad
+        log_vars = {}
+        if 'test_poses' in data:
+            log_vars, pred_imgs = eval_and_viz(
+                model, state, code, bitfield, batch, viz_dir=viz_dir,
+                cfg=model.test_cfg)
+            if metrics:
+                imgs = np.asarray(pred_imgs.transpose(0, 1, 3, 4, 2))
+                imgs = imgs[:num_valid].reshape(-1, *imgs.shape[2:])
+                for metric in metrics:
+                    metric.feed(imgs, 'fakes')
+        code_rms = float(jnp.sqrt(jnp.mean(code[:num_valid] ** 2)))
+        log_vars['code_rms'] = code_rms
+        for k, v in log_vars.items():
+            sums[k] = sums.get(k, 0.0) + float(v) * num_valid
+            weights[k] = weights.get(k, 0) + num_valid
+        total += num_valid
+        log_fn(f'evaluate_3d: {total} scenes done; '
+               + ', '.join(f'{k}={float(v):.4f}' for k, v in log_vars.items()))
+    return {k: sums[k] / max(weights[k], 1) for k in sums}

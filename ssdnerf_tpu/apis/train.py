@@ -1,0 +1,117 @@
+"""Training orchestration API.
+
+Equivalent of ``train_model`` (/root/reference/lib/apis/train.py:22-199):
+build dataloaders, optimizers, hooks and the runner from a config, then run.
+Distribution: data parallelism over a TPU mesh replaces DDP/NCCL; per-host
+rank sharding of the scene cache mirrors ``split_data``.
+"""
+import os
+
+import numpy as np
+import jax
+
+from ..data.builder import build_dataset, DataLoader
+from ..registry import build_model
+from ..runner.optim import build_optimizers
+from ..runner.hooks import build_hooks, CheckpointHook, TextLoggerHook, \
+    SaveStatsHook
+from ..runner.loop import Runner
+from ..core.evaluation import build_metric, GenerativeEvalHook3D
+
+
+def build_model_from_cfg(cfg):
+    return build_model(cfg.model, train_cfg=cfg.get('train_cfg'),
+                       test_cfg=cfg.get('test_cfg'))
+
+
+def load_cache_from_dir(cache, cache_dir, scene_names):
+    """Preload the scene cache from per-scene files (the reference's
+    ``cache_load_from``, multiscene_nerf.py:78-94)."""
+    if cache_dir is None or not os.path.isdir(cache_dir):
+        return False
+    files = sorted(os.listdir(cache_dir))
+    if not files:
+        return False
+    loaded = 0
+    for li in range(cache.local_size):
+        gid = cache.offset + li
+        name = scene_names[gid] if scene_names else f'{gid:06d}'
+        for ext in ('.npz',):
+            path = os.path.join(cache_dir, name + ext)
+            if os.path.exists(path):
+                d = np.load(path)
+                cache.code_[li] = d['code_'].astype(cache.code_.dtype)
+                cache.density_grid[li] = d['density_grid']
+                cache.density_bitfield[li] = d['density_bitfield']
+                if 'optimizer_m' in d:
+                    cache.m[li] = d['optimizer_m'].astype(cache.m.dtype)
+                    cache.v[li] = d['optimizer_v'].astype(cache.v.dtype)
+                    cache.step[li] = d['optimizer_step']
+                cache.seen[li] = True
+                loaded += 1
+                break
+    return loaded > 0
+
+
+def train_model(cfg, work_dir=None, resume_from=None, seed=0, rank=0,
+                world_size=1, max_iters=None):
+    work_dir = work_dir or cfg.get('work_dir', './work_dir')
+    model = build_model_from_cfg(cfg)
+
+    dataset = build_dataset(cfg.data['train'])
+    scene_names = [dataset.scene_name(i) for i in range(len(dataset))]
+
+    loader_cfg = dict(cfg.data.get('train_dataloader', {}))
+    loader = DataLoader(
+        dataset, batch_size=cfg.data.get('samples_per_gpu', 8),
+        rank=rank, world_size=world_size,
+        split_data=loader_cfg.get('split_data', True), seed=seed)
+
+    txs, schedules = build_optimizers(model, cfg.get('optimizer', {}),
+                                     cfg.get('lr_config'))
+    state = model.init_state(jax.random.PRNGKey(seed),
+                             cfg.get('optimizer', {}),
+                             lr_schedules=schedules) \
+        if hasattr(model, 'diffusion') else model.init_state(
+            jax.random.PRNGKey(seed),
+            cfg.get('optimizer', {}).get('decoder'),
+            schedules.get('decoder'))
+
+    cache = model.make_cache(rank, world_size) if model.cache_size > 0 \
+        else None
+    if cache is not None:
+        cache_load_from = model.train_cfg.get('cache_load_from')
+        if load_cache_from_dir(cache, cache_load_from, scene_names):
+            print(f'Loaded cache files from {cache_load_from}.')
+        else:
+            print('Initialize codes from scratch.')
+
+    # hooks
+    hooks = build_hooks(cfg.get('custom_hooks', []))
+    ckpt_cfg = dict(cfg.get('checkpoint_config', {}))
+    hooks.append(CheckpointHook(
+        interval=ckpt_cfg.get('interval', 5000),
+        max_keep_ckpts=ckpt_cfg.get('max_keep_ckpts', -1)))
+    log_cfg = dict(cfg.get('log_config', {}))
+    hooks.append(TextLoggerHook(interval=log_cfg.get('interval', 50)))
+    hooks.append(SaveStatsHook(interval=log_cfg.get('interval', 50)))
+    for ev in cfg.get('evaluation', []):
+        ev = dict(ev)
+        assert ev.pop('type') == 'GenerativeEvalHook3D'
+        data_key = ev.pop('data')
+        val_dataset = build_dataset(cfg.data[data_key]) if rank == 0 else None
+        metric_cfg = ev.pop('metrics', None)
+        metrics = [build_metric(metric_cfg)] if metric_cfg else []
+        hooks.append(GenerativeEvalHook3D(
+            dataset=val_dataset, metrics=metrics, **ev))
+    hooks.sort(key=lambda h: h.priority)
+
+    runner = Runner(
+        model, state, cache, loader, txs, work_dir,
+        max_iters=max_iters or cfg.get('total_iters', 1000000),
+        hooks=hooks, scene_names=scene_names, rank=rank,
+        world_size=world_size, seed=seed)
+    if resume_from:
+        runner.resume(resume_from)
+    runner.run()
+    return runner

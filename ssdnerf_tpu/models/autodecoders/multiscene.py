@@ -147,6 +147,68 @@ class MultiSceneNeRF:
         self.density_point_chunk = cfg.get('density_point_chunk', None)
 
     # -------------------------------------------------------------- #
+    # mutable-config surface (ModelUpdaterHook, test_cfg.override_cfg)
+    # -------------------------------------------------------------- #
+    def set_dotted(self, key, value):
+        """Apply a dotted config path mutation (misc.py:127-156 rsetattr
+        semantics for the paths the reference configs actually use)."""
+        import dataclasses
+        parts = key.split('.')
+        root = parts[0]
+        if root in ('train_cfg', 'test_cfg'):
+            d = getattr(self, root)
+            for p in parts[1:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = value
+        elif root in ('pixel_loss', 'reg_loss'):
+            obj = getattr(self, root)
+            setattr(self, root,
+                    dataclasses.replace(obj, **{parts[-1]: value}))
+        elif root in ('diffusion', 'diffusion_ema') and len(parts) >= 2 \
+                and parts[1] == 'ddpm_loss':
+            if parts[2] == 'freeze_norm':
+                self.freeze_norm = value
+            else:
+                new_loss = dataclasses.replace(
+                    self.diffusion.ddpm_loss, **{parts[2]: value})
+                self.diffusion = dataclasses.replace(
+                    self.diffusion, ddpm_loss=new_loss)
+        else:
+            raise KeyError(f'Unsupported config path: {key}')
+
+    def get_dotted(self, key, default=None):
+        import dataclasses  # noqa: F401
+        parts = key.split('.')
+        root = parts[0]
+        if root in ('train_cfg', 'test_cfg'):
+            d = getattr(self, root)
+            for p in parts[1:]:
+                if not isinstance(d, dict) or p not in d:
+                    return default
+                d = d[p]
+            return d
+        if root in ('pixel_loss', 'reg_loss'):
+            return getattr(getattr(self, root), parts[-1], default)
+        if root in ('diffusion', 'diffusion_ema') and len(parts) >= 2 \
+                and parts[1] == 'ddpm_loss':
+            if parts[2] == 'freeze_norm':
+                return getattr(self, 'freeze_norm', default)
+            return getattr(self.diffusion.ddpm_loss, parts[2], default)
+        return default
+
+    def eval_mode(self):
+        """Apply test_cfg.override_cfg swaps (base_nerf.py:131-141)."""
+        self._override_backup = {}
+        for key, value in self.test_cfg.get('override_cfg', {}).items():
+            self._override_backup[key] = self.get_dotted(key)
+            self.set_dotted(key, value)
+
+    def train_mode(self):
+        for key, value in getattr(self, '_override_backup', {}).items():
+            self.set_dotted(key, value)
+        self._override_backup = {}
+
+    # -------------------------------------------------------------- #
     # state
     # -------------------------------------------------------------- #
     def make_cache(self, rank=0, world_size=1):

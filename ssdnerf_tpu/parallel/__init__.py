@@ -1,0 +1,4 @@
+from .sharding import (make_mesh, replicate, shard_scenes, make_parallel_train_step)
+
+__all__ = ['make_mesh', 'replicate', 'shard_scenes',
+           'make_parallel_train_step']

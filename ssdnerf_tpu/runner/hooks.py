@@ -1,0 +1,323 @@
+"""Training hooks.
+
+Equivalents of /root/reference/lib/runner/hooks/ plus the external mmcv/mmgen
+hooks the reference relies on (EMA, checkpoint, loggers):
+
+- EMAHook: mmgen ExponentialMovingAverageHook with StyleGAN rampup momentum
+  (configs/paper_cfgs/ssdnerf_cars_uncond.py:152-161).
+- SaveCacheHook / ResetCacheHook / MeanCacheHook: cache.py:14-228.
+- ModelUpdaterHook: scheduled dotted-config surgery (model_updater.py:24-39);
+  invalidates the runner's compiled step so the new statics take effect.
+- SaveStatsHook (save_stats.py), DirCopyHook (filesystem.py),
+  TextLoggerHook, CheckpointHook.
+"""
+import os
+import json
+import shutil
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class Hook:
+    priority = 50  # lower = earlier
+
+    def before_run(self, runner):
+        pass
+
+    def after_train_iter(self, runner):
+        pass
+
+    def after_run(self, runner):
+        pass
+
+    def every_n_iters(self, runner, n):
+        # runner.iteration counts *completed* iterations (1-based)
+        return n > 0 and runner.iteration % n == 0
+
+
+class EMAHook(Hook):
+    priority = 10  # VERY_HIGH
+
+    def __init__(self, module_keys=('diffusion_ema', 'decoder_ema'),
+                 interp_mode='lerp', interval=1, start_iter=0,
+                 momentum_policy='rampup', momentum_cfg=None, **kwargs):
+        self.module_keys = tuple(module_keys)
+        self.interval = interval
+        self.start_iter = start_iter
+        self.momentum_policy = momentum_policy
+        self.momentum_cfg = dict(momentum_cfg or {})
+        self._lerp = jax.jit(
+            lambda ema, p, beta: jax.tree_util.tree_map(
+                lambda e, q: beta * e + (1 - beta) * q, ema, p))
+
+    def momentum(self, runner):
+        if self.momentum_policy == 'rampup':
+            cfg = self.momentum_cfg
+            batch_size = cfg.get('batch_size', 4)
+            ema_kimg = cfg.get('ema_kimg', 10)
+            ema_rampup = cfg.get('ema_rampup', None)
+            eps = cfg.get('eps', 1e-8)
+            cur_nimg = runner.iteration * batch_size
+            ema_nimg = ema_kimg * 1000
+            if ema_rampup is not None:
+                ema_nimg = min(ema_nimg, cur_nimg * ema_rampup)
+            return 0.5 ** (batch_size / max(ema_nimg, eps))
+        return self.momentum_cfg.get('momentum', 0.999)
+
+    def after_train_iter(self, runner):
+        if runner.iteration % self.interval != 0:
+            return
+        state = runner.state
+        for ema_key in self.module_keys:
+            src_key = ema_key[:-len('_ema')]
+            if ema_key not in state or src_key not in state:
+                continue
+            if runner.iteration - 1 < self.start_iter:
+                state[ema_key] = state[src_key]
+            else:
+                state[ema_key] = self._lerp(
+                    state[ema_key], state[src_key],
+                    float(self.momentum(runner)))
+
+
+class SaveCacheHook(Hook):
+    """Periodically persist every cached scene state to ``out_dir``
+    (cache.py:14-68).  Files are .npz with the reference's key names."""
+    priority = 50
+
+    def __init__(self, interval=5000, out_dir=None, viz_dir=None, **kwargs):
+        self.interval = interval
+        self.out_dir = out_dir
+        self.viz_dir = viz_dir
+
+    def after_train_iter(self, runner):
+        if not self.every_n_iters(runner, self.interval):
+            return
+        self.save_all(runner)
+
+    def after_run(self, runner):
+        self.save_all(runner)
+
+    def save_all(self, runner):
+        cache = runner.cache
+        if cache is None or self.out_dir is None:
+            return
+        os.makedirs(self.out_dir, exist_ok=True)
+        names = runner.scene_names
+        for li in range(cache.local_size):
+            if not cache.seen[li]:
+                continue
+            gid = cache.offset + li
+            name = names[gid] if names is not None else f'{gid:06d}'
+            np.savez(
+                os.path.join(self.out_dir, name + '.npz'),
+                scene_id=gid, scene_name=name,
+                code_=cache.code_[li],
+                density_grid=cache.density_grid[li],
+                density_bitfield=cache.density_bitfield[li],
+                optimizer_m=cache.m[li], optimizer_v=cache.v[li],
+                optimizer_step=cache.step[li])
+        if self.viz_dir is not None:
+            os.makedirs(self.viz_dir, exist_ok=True)
+
+
+class ResetCacheHook(Hook):
+    """Null the cache on interval (cache.py:71-102)."""
+
+    def __init__(self, interval=0, **kwargs):
+        self.interval = interval
+
+    def after_train_iter(self, runner):
+        if self.every_n_iters(runner, self.interval):
+            cache = runner.cache
+            cache.seen[:] = False
+            cache.code_[:] = 0
+            cache.m[:] = 0
+            cache.v[:] = 0
+            cache.step[:] = 0
+            cache.density_grid[:] = 0
+            cache.density_bitfield[:] = 0
+
+
+class MeanCacheHook(Hook):
+    """Replace every cached code with the dataset mean code — the 'triplane
+    reset' (cache.py:173-228, ssdnerf_cars3v_uncond_2m.py:165-168)."""
+
+    def __init__(self, step=(), **kwargs):
+        self.steps = set(step)
+
+    def after_train_iter(self, runner):
+        if runner.iteration not in self.steps:
+            return
+        cache = runner.cache
+        model = runner.model
+        init_code = runner.state.get('init_code')
+        if init_code is None:
+            seen = cache.seen
+            mean_code = cache.code_[seen].astype(np.float32).mean(0) \
+                if seen.any() else np.zeros(cache.code_size, np.float32)
+            code_ = np.asarray(model.code_activation.inverse(
+                jnp.asarray(mean_code)[None], runner.state.get('code_act')))[0]
+        else:
+            code_ = np.asarray(model.code_activation.inverse(
+                jnp.asarray(init_code)[None] * model.mean_scale,
+                runner.state.get('code_act')))[0]
+        cache.code_[:] = code_.astype(cache.code_.dtype)
+        cache.m[:] = 0
+        cache.v[:] = 0
+        cache.step[:] = 0
+
+
+class ModelUpdaterHook(Hook):
+    """Scheduled config surgery (model_updater.py:24-39)."""
+    priority = 40
+
+    def __init__(self, step=(), cfgs=(), **kwargs):
+        self.steps = list(step)
+        self.cfgs = list(cfgs)
+
+    def after_train_iter(self, runner):
+        it = runner.iteration
+        for s, cfg in zip(self.steps, self.cfgs):
+            if it == s:
+                for key, value in cfg.items():
+                    runner.model.set_dotted(key, value)
+                runner.invalidate_step()
+                runner.log_text(f'ModelUpdaterHook applied at iter {it}: {cfg}')
+
+
+class SaveStatsHook(Hook):
+    """Per-iteration scalar stats dump (save_stats.py analog): writes the
+    latest log_vars + param RMS to a jsonl file per rank."""
+
+    def __init__(self, interval=50, **kwargs):
+        self.interval = interval
+
+    def after_train_iter(self, runner):
+        if not self.every_n_iters(runner, self.interval):
+            return
+        path = os.path.join(runner.work_dir,
+                            f'stats_rank{runner.rank}.jsonl')
+        stats = {k: float(v) for k, v in runner.last_log_vars.items()
+                 if np.isscalar(v) or getattr(v, 'ndim', 1) == 0}
+        stats['iter'] = runner.iteration
+        with open(path, 'a') as f:
+            f.write(json.dumps(stats) + '\n')
+
+
+class DirCopyHook(Hook):
+    """Periodic backup copy of the cache dir (filesystem.py)."""
+
+    def __init__(self, interval=0, in_dir=None, out_dir=None, **kwargs):
+        self.interval = interval
+        self.in_dir = in_dir
+        self.out_dir = out_dir
+
+    def after_train_iter(self, runner):
+        if self.every_n_iters(runner, self.interval) and self.in_dir and \
+                os.path.isdir(self.in_dir):
+            shutil.copytree(self.in_dir, self.out_dir, dirs_exist_ok=True)
+
+
+class TextLoggerHook(Hook):
+    priority = 90
+
+    def __init__(self, interval=50, **kwargs):
+        self.interval = interval
+        self._t0 = None
+        self._it0 = 0
+
+    def before_run(self, runner):
+        self._t0 = time.time()
+        self._it0 = runner.iteration
+
+    def after_train_iter(self, runner):
+        if not self.every_n_iters(runner, self.interval):
+            return
+        now = time.time()
+        it = runner.iteration
+        ips = (it - self._it0) / max(now - self._t0, 1e-9)
+        self._t0, self._it0 = now, it
+        vals = ', '.join(
+            f'{k}: {float(v):.4g}' for k, v in runner.last_log_vars.items()
+            if np.isscalar(v) or getattr(v, 'ndim', 1) == 0)
+        runner.log_text(
+            f'Iter [{it}/{runner.max_iters}] {ips:.2f} it/s  {vals}')
+
+
+class TensorboardLoggerHook(Hook):
+    priority = 90
+
+    def __init__(self, interval=50, **kwargs):
+        self.interval = interval
+        self.writer = None
+
+    def before_run(self, runner):
+        try:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(
+                os.path.join(runner.work_dir, 'tf_logs'))
+        except Exception:
+            self.writer = None
+
+    def after_train_iter(self, runner):
+        if self.writer is None or not self.every_n_iters(runner, self.interval):
+            return
+        for k, v in runner.last_log_vars.items():
+            try:
+                self.writer.add_scalar(k, float(v), runner.iteration)
+            except (TypeError, ValueError):
+                pass
+
+
+class CheckpointHook(Hook):
+    priority = 70
+
+    def __init__(self, interval=5000, max_keep_ckpts=-1, **kwargs):
+        self.interval = interval
+        self.max_keep = max_keep_ckpts
+
+    def after_train_iter(self, runner):
+        if self.every_n_iters(runner, self.interval):
+            runner.save_checkpoint()
+            if self.max_keep > 0:
+                runner.prune_checkpoints(self.max_keep)
+
+    def after_run(self, runner):
+        runner.save_checkpoint()
+
+
+_HOOKS = {
+    'ExponentialMovingAverageHook': EMAHook,
+    'SaveCacheHook': SaveCacheHook,
+    'ResetCacheHook': ResetCacheHook,
+    'MeanCacheHook': MeanCacheHook,
+    'ModelUpdaterHook': ModelUpdaterHook,
+    'SaveStatsHook': SaveStatsHook,
+    'DirCopyHook': DirCopyHook,
+    'TextLoggerHook': TextLoggerHook,
+    'TensorboardLoggerHook': TensorboardLoggerHook,
+    'CheckpointHook': CheckpointHook,
+}
+
+_PRIORITY = {'VERY_HIGH': 10, 'HIGH': 30, 'NORMAL': 50, 'LOW': 70,
+             'VERY_LOW': 90}
+
+
+def build_hooks(hook_cfgs):
+    hooks = []
+    for cfg in hook_cfgs or []:
+        cfg = dict(cfg)
+        kind = cfg.pop('type')
+        prio = cfg.pop('priority', None)
+        cfg.pop('by_epoch', None)
+        if kind not in _HOOKS:
+            continue
+        hook = _HOOKS[kind](**cfg)
+        if prio is not None:
+            hook.priority = _PRIORITY.get(prio, prio)
+        hooks.append(hook)
+    return sorted(hooks, key=lambda h: h.priority)

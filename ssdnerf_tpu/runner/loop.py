@@ -1,0 +1,179 @@
+"""Iteration-based training loop.
+
+Owns what the reference delegates to mmgen's ``DynamicIterBasedRunner``
+(/root/reference/lib/apis/train.py:102-199): the infinite data stream, the
+per-iteration ``train_step`` call, hook dispatch, checkpointing and resume
+with dataloader fast-forward.  The hot path is one jitted step per
+iteration; host work is only the cache gather/scatter for the current batch
+and hook bookkeeping.
+"""
+import glob
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.checkpoint import save_checkpoint, load_checkpoint
+
+
+class Runner:
+    def __init__(self, model, state, cache, data_loader, txs, work_dir,
+                 max_iters, hooks=(), scene_names=None, rank=0, world_size=1,
+                 seed=0, mesh=None, data_sharding=None, repl_sharding=None):
+        self.model = model
+        self.state = state
+        self.cache = cache
+        self.data_loader = data_loader
+        self.txs = txs
+        self.work_dir = work_dir
+        self.max_iters = max_iters
+        self.hooks = list(hooks)
+        self.scene_names = scene_names
+        self.rank = rank
+        self.world_size = world_size
+        self.iteration = 0
+        self.last_log_vars = {}
+        self.base_key = jax.random.PRNGKey(seed + rank * 1000003)
+        self.mesh = mesh
+        self.data_sharding = data_sharding
+        self.repl_sharding = repl_sharding
+        self._step = None
+        self._init_rng = np.random.RandomState(seed + rank)
+        os.makedirs(work_dir, exist_ok=True)
+        self._log_file = os.path.join(work_dir, f'log_rank{rank}.txt')
+
+    # ---------------------------------------------------------------- #
+    def log_text(self, msg):
+        line = f'[{time.strftime("%Y-%m-%d %H:%M:%S")}] {msg}'
+        if self.rank == 0:
+            print(line, flush=True)
+        with open(self._log_file, 'a') as f:
+            f.write(line + '\n')
+
+    def invalidate_step(self):
+        self._step = None
+
+    # ---------------------------------------------------------------- #
+    def _build_step(self, stage2):
+        model = self.model
+        from ..models.autodecoders import DiffusionNeRF
+
+        if isinstance(model, DiffusionNeRF):
+            tx_diff = self.txs['diffusion']
+            tx_dec = self.txs.get('decoder', tx_diff)
+
+            def step(state, scene_batch, data, key):
+                return model.train_step(state, scene_batch, data, key,
+                                        tx_diff, tx_dec)
+        else:
+            tx_dec = self.txs['decoder']
+
+            def step(state, scene_batch, data, key):
+                return model.train_step(state, scene_batch, data, key, tx_dec)
+
+        if stage2:
+            def stage2_step(s, d, k):
+                new_s, _, logs = step(s, None, d, k)
+                return new_s, logs
+            return jax.jit(stage2_step)
+        # NOTE: donation of (state, scene_batch) is deferred — at init the
+        # EMA params alias the raw params (same buffers), which XLA rejects
+        # as double-donation.  Re-enable once EMA state is de-aliased.
+        return jax.jit(step)
+
+    def _prepare_data(self, batch):
+        data = {}
+        for k in ('cond_imgs', 'cond_poses', 'cond_intrinsics'):
+            if k in batch:
+                data[k] = jnp.asarray(batch[k])
+        if 'code' in batch:
+            blob = batch['code']
+            if 'code' in blob:
+                data['code'] = jnp.asarray(blob['code'], jnp.float32)
+            elif 'code_' in blob:
+                data['code'] = self.model.code_activation(
+                    jnp.asarray(blob['code_'], jnp.float32),
+                    self.state.get('code_act'))
+        data['scene_id'] = jnp.asarray(batch['scene_id'])
+        return data
+
+    # ---------------------------------------------------------------- #
+    def run(self):
+        for hook in self.hooks:
+            hook.before_run(self)
+        stage2 = 'optimizer' not in self.model.train_cfg
+        loader = iter(self.data_loader)
+        self.log_text(
+            f'Starting training at iter {self.iteration}/{self.max_iters} '
+            f'(rank {self.rank}/{self.world_size}, stage2={stage2})')
+        model = self.model
+        while self.iteration < self.max_iters:
+            batch = next(loader)
+            data = self._prepare_data(batch)
+            key = jax.random.fold_in(self.base_key, self.iteration)
+            if self._step is None:
+                self._step = self._build_step(stage2)
+            if stage2:
+                self.state, log_vars = self._step(self.state, data, key)
+            else:
+                scene_batch = self.cache.load(
+                    batch['scene_id'],
+                    init_code_fn=lambda n: model.get_init_code_np(
+                        n, self._init_rng,
+                        np.asarray(self.state['init_code'])
+                        if self.state.get('init_code') is not None else None))
+                self.state, scene_batch, log_vars = self._step(
+                    self.state, scene_batch, data, key)
+                self.cache.save(batch['scene_id'], scene_batch['code_'],
+                                scene_batch['opt'],
+                                scene_batch['density_grid'],
+                                scene_batch['density_bitfield'])
+            self.last_log_vars = log_vars
+            self.iteration += 1  # = number of completed iterations
+            for hook in self.hooks:
+                hook.after_train_iter(self)
+        for hook in self.hooks:
+            hook.after_run(self)
+
+    # ---------------------------------------------------------------- #
+    def ckpt_path(self, iteration=None):
+        it = self.iteration if iteration is None else iteration
+        return os.path.join(self.work_dir, 'ckpt', f'iter_{it}.ckpt')
+
+    def save_checkpoint(self):
+        path = self.ckpt_path()
+        save_checkpoint(path, self.state, self.iteration,
+                        meta=dict(rank=self.rank))
+        latest = os.path.join(self.work_dir, 'ckpt', 'latest.ckpt')
+        try:
+            if os.path.islink(latest) or os.path.exists(latest):
+                os.remove(latest)
+            os.symlink(os.path.basename(path), latest)
+        except OSError:
+            pass
+        if self.cache is not None:
+            np.savez(os.path.join(self.work_dir, 'ckpt',
+                                  f'cache_rank{self.rank}.npz'),
+                     **self.cache.state_dict())
+        self.log_text(f'Saved checkpoint to {path}')
+
+    def prune_checkpoints(self, keep):
+        ckpts = sorted(
+            glob.glob(os.path.join(self.work_dir, 'ckpt', 'iter_*.ckpt')),
+            key=lambda p: int(os.path.basename(p)[5:-5]))
+        for p in ckpts[:-keep]:
+            os.remove(p)
+
+    def resume(self, path):
+        state, iteration, _ = load_checkpoint(path, template=self.state)
+        merged = dict(self.state)
+        merged.update(state)
+        self.state = merged
+        self.iteration = iteration
+        cache_path = os.path.join(os.path.dirname(path),
+                                  f'cache_rank{self.rank}.npz')
+        if self.cache is not None and os.path.exists(cache_path):
+            self.cache.load_state_dict(dict(np.load(cache_path)))
+        self.log_text(f'Resumed from {path} at iter {iteration}')
