@@ -1,0 +1,40 @@
+# Sparse-view training, second 1M iters: resume from the 1m run with the
+# triplane cache reset to the mean code.
+_base_ = ['ssdnerf_cars3v_uncond_1m.py']
+
+name = 'ssdnerf_cars3v_uncond'
+code_dir = 'cache/' + name + '/code'
+work_dir = 'work_dirs/' + name
+
+train_cfg = dict(extra_scene_step=1)
+load_from = 'work_dirs/ssdnerf_cars3v_uncond/ckpt/latest.ckpt'
+
+custom_hooks = [
+    dict(
+        type='ExponentialMovingAverageHook',
+        module_keys=('diffusion_ema', 'decoder_ema'),
+        interp_mode='lerp',
+        interval=1,
+        start_iter=0,
+        momentum_policy='rampup',
+        momentum_cfg=dict(ema_kimg=4, ema_rampup=0.05, batch_size=16,
+                          eps=1e-8),
+        priority='VERY_HIGH'),
+    dict(type='MeanCacheHook', step=[0], by_epoch=False,
+         load_from='cache/ssdnerf_cars3v_uncond/code'),
+    dict(
+        type='SaveCacheHook',
+        interval=5000,
+        by_epoch=False,
+        out_dir=code_dir,
+        viz_dir='cache/' + name + '/viz'),
+    dict(
+        type='ModelUpdaterHook',
+        step=[100000, 500000],
+        cfgs=[{'diffusion.ddpm_loss.freeze_norm': True},
+              {'train_cfg.optimizer.lr': 2.5e-3,
+               'diffusion.ddpm_loss.freeze_norm': True,
+               'pixel_loss.loss_weight': 10.0,
+               'reg_loss.loss_weight': 1.5e-3}],
+        by_epoch=False)
+]

@@ -7,13 +7,14 @@ Key design: the CUDA kernel's "empty-space skip" (do-while stepping ``dt``
 until the next voxel boundary) advances ``t`` through *exactly the same
 t-sequence* as stepping one ``dt`` at a time — the skip is purely a serial
 compute optimization, and the t-recurrence ``t_{k+1} = t_k + clamp(t_k *
-dt_gamma, dt_min, dt_max)`` is independent of occupancy.  So on TPU we
-generate the full dense ``[num_rays, max_steps]`` t-sequence with a
-``lax.scan`` (cheap VPU work), look up occupancy with a vectorized bitfield
-gather, and emit a validity mask instead of compacting.  No atomics, no
-D2H sync (the reference wrapper syncs on ``step_counter.item()`` at
-raymarching.py:269), and static shapes throughout.  The decode + composite
-stages simply ignore invalid slots.
+dt_gamma, dt_min, dt_max)`` is independent of occupancy.  Better still, the
+recurrence has a CLOSED FORM in three phases — linear while ``t*gamma <
+dt_min``, geometric ``t_k = t1*(1+gamma)^k`` in between, linear with
+``dt_max`` after — so the whole ``[num_rays, max_steps]`` t-grid is one
+vectorized expression: no scan, no atomics, no D2H sync (the reference
+wrapper syncs on ``step_counter.item()`` at raymarching.py:269), static
+shapes throughout.  Occupancy is one batched bitfield gather; the decode +
+composite stages simply ignore invalid slots.
 """
 from typing import NamedTuple
 
@@ -62,17 +63,55 @@ def march_rays(rays_o, rays_d, nears, fars, density_bitfield, grid_size,
     if perturb_noise is not None:
         t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * perturb_noise
 
-    bitfield_bits = density_bitfield  # (H^3 // 8,) uint8
+    ts = t_sequence(t0, dt_gamma, dt_min, dt_max, max_steps)  # (N, K)
+    dts = jnp.clip(ts * dt_gamma, dt_min, dt_max)
 
-    def step_fn(t, _):
-        dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
-        x = jnp.clip(rays_o + t[:, None] * rays_d, -bound, bound)
-        n = jnp.clip((0.5 * (x / mip_bound + 1.0) * H).astype(jnp.int32), 0, H - 1)
-        idx = morton3d(n)
-        byte = bitfield_bits[idx >> 3]
-        occ = ((byte >> (idx & 7).astype(jnp.uint8)) & 1).astype(jnp.bool_)
-        valid = occ & (t < fars)
-        return t + dt, (t, dt, valid)
+    x = jnp.clip(rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
+                 -bound, bound)
+    n = jnp.clip((0.5 * (x / mip_bound + 1.0) * H).astype(jnp.int32),
+                 0, H - 1)
+    idx = morton3d(n)  # (N, K)
+    byte = density_bitfield[idx >> 3]
+    occ = ((byte >> (idx & 7).astype(jnp.uint8)) & 1).astype(jnp.bool_)
+    valid = occ & (ts < fars[:, None])
+    return MarchResults(ts=ts, dts=dts, valid=valid)
 
-    _, (ts, dts, valid) = jax.lax.scan(step_fn, t0, None, length=max_steps)
-    return MarchResults(ts=ts.T, dts=dts.T, valid=valid.T)
+
+def t_sequence(t0, dt_gamma, dt_min, dt_max, num_steps):
+    """Closed-form evaluation of the marching recurrence
+    ``t_{k+1} = t_k + clamp(t_k * dt_gamma, dt_min, dt_max)`` for all k.
+
+    Three phases (boundaries A = dt_min/gamma, B = dt_max/gamma):
+      1. t < A: arithmetic with step dt_min.
+      2. A <= t < B: geometric, t_{k+1} = t_k * (1 + gamma).
+      3. t >= B: arithmetic with step dt_max.
+
+    Args:
+        t0: (N,) start distances.
+        dt_gamma: scalar (possibly traced) cone factor >= 0.
+        num_steps: static int K.
+
+    Returns (N, K) t values (t_k is the distance BEFORE step k advances).
+    """
+    k = jnp.arange(num_steps, dtype=jnp.float32)[None]      # (1, K)
+    t0 = t0[:, None]                                        # (N, 1)
+    g = jnp.maximum(jnp.asarray(dt_gamma, jnp.float32), 0.0)
+    g_safe = jnp.maximum(g, 1e-12)
+    A = dt_min / g_safe
+    B = dt_max / g_safe
+    log1pg = jnp.log1p(g_safe)
+
+    # phase-1 step count from t0 (0 when t0 already >= A)
+    n1 = jnp.ceil(jnp.maximum(A - t0, 0.0) / dt_min)
+    t1 = t0 + n1 * dt_min                                   # first t >= A
+    # phase-2 step count from t1 (0 when t1 >= B)
+    n2 = jnp.ceil(jnp.maximum(jnp.log(B / jnp.maximum(t1, 1e-12)), 0.0)
+                  / log1pg)
+    t2 = t1 * jnp.exp(n2 * log1pg)                          # first t >= B
+
+    t_lin1 = t0 + k * dt_min
+    t_geo = t1 * jnp.exp((k - n1) * log1pg)
+    t_lin2 = t2 + (k - n1 - n2) * dt_max
+    ts = jnp.where(k < n1, t_lin1, jnp.where(k < n1 + n2, t_geo, t_lin2))
+    # gamma == 0: pure arithmetic with dt_min
+    return jnp.where(g > 0, ts, t_lin1)

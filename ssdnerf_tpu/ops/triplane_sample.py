@@ -26,21 +26,28 @@ def grid_sample_2d(image, coords):
     fy = (coords[:, 1] + 1.0) * 0.5 * H - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    wx = fx - x0
-    wy = fy - y0
+    wx = (fx - x0)[:, None]
+    wy = (fy - y0)[:, None]
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
     x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, W - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1)
 
-    flat = image.reshape(C, H * W)  # gather on flattened HW for a single take
-    i00 = flat[:, y0i * W + x0i]  # (C, N)
-    i01 = flat[:, y0i * W + x1i]
-    i10 = flat[:, y1i * W + x0i]
-    i11 = flat[:, y1i * W + x1i]
+    # TPU layout note: gather along the *leading* axis with 1D outputs per
+    # channel — a lane-axis gather like (C, HW)[:, idx] triggers massive
+    # lane padding on TPU (21x memory expansion observed).
+    flat = image.reshape(C, H * W)
+
+    def take(idx):
+        return jnp.stack([flat[c][idx] for c in range(C)], axis=-1)  # (N, C)
+
+    i00 = take(y0i * W + x0i)
+    i01 = take(y0i * W + x1i)
+    i10 = take(y1i * W + x0i)
+    i11 = take(y1i * W + x1i)
     top = i00 * (1.0 - wx) + i01 * wx
     bot = i10 * (1.0 - wx) + i11 * wx
-    return (top * (1.0 - wy) + bot * wy).T
+    return top * (1.0 - wy) + bot * wy
 
 
 def xyz_to_plane_coords(xyz, flip_z=False):
