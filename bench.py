@@ -63,7 +63,7 @@ def main():
         out = volume_render(model.decoder, params, code, rays_o, rays_d,
                             bitfield, model.grid_size,
                             dt_gamma=0.5 / 131.25, T_thresh=1e-4,
-                            step_chunk=32)
+                            step_chunk=4)
         return out['image']
 
     img = render(code, rays_o, rays_d, bitfield)

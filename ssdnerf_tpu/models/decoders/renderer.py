@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import near_far_from_aabb, march_rays, composite_rays
+from ...ops.marching import SQRT3, compact_samples, t_at_step
 from ...ops.morton import morton3d_invert, packbits
 
 
@@ -55,6 +56,23 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
             o, d, nr, fr, bf, grid_size, decoder.bound, dg, max_steps, nz))
     res = march(rays_o, rays_d, nears, fars, density_bitfield, dt_gamma, noise)
     # res.*: (num_scenes, N, max_steps)
+
+    # Per-ray compaction: decode only the first K valid samples per ray
+    # (empty space typically leaves <10% of the dense slots valid).  The
+    # compacted step indices feed the closed-form t evaluation, so no
+    # gathers are needed anywhere.
+    compact_steps = getattr(decoder, 'compact_steps', None)
+    if compact_steps is not None and compact_steps < max_steps:
+        comp_step, comp_valid = compact_samples(res.valid, compact_steps)
+        dt_min = 2.0 * SQRT3 / max_steps
+        dt_max = 2.0 * SQRT3 / grid_size
+        t0 = res.ts[..., 0]  # perturbed start t of each ray
+        comp_ts = t_at_step(t0, comp_step, dt_gamma[:, None, None],
+                            dt_min, dt_max)
+        comp_dts = jnp.clip(comp_ts * dt_gamma[:, None, None], dt_min, dt_max)
+        from ...ops.marching import MarchResults
+        res = MarchResults(ts=comp_ts, dts=comp_dts, valid=comp_valid)
+        max_steps = compact_steps
 
     def decode_chunk(ts_c):
         """Decode one chunk of the step axis: ts_c (S, N, K)."""

@@ -6,7 +6,7 @@ bilinear lookup is a gather+lerp (ops.sample_triplane), the tiny MLPs run as
 large batched matmuls over all ray samples at once (MXU-friendly), and the
 SH direction encoding is fused in by XLA.
 """
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -25,10 +25,12 @@ _ACT = {
 class MLP(nn.Module):
     """Stack of Dense layers with activation between them (not after the
     last), mirroring the reference's base/density/color net construction
-    (triplane_decoder.py:57-90)."""
+    (triplane_decoder.py:57-90).  ``dtype`` is the computation dtype (bf16
+    for MXU throughput); params stay f32."""
     layers: Sequence[int]
     activation: str = 'silu'
     zero_init_last: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -38,7 +40,7 @@ class MLP(nn.Module):
             is_last = i == n - 1
             init = nn.initializers.zeros if (self.zero_init_last and is_last) \
                 else nn.initializers.xavier_uniform()
-            x = nn.Dense(self.layers[i + 1], kernel_init=init,
+            x = nn.Dense(self.layers[i + 1], kernel_init=init, dtype=self.dtype,
                          bias_init=nn.initializers.zeros, name=f'dense_{i}')(x)
             if not is_last:
                 x = act(x)
@@ -67,6 +69,11 @@ class TriPlaneDecoder(nn.Module):
     min_near: float = 0.2
     bg_radius: float = -1.0
     max_steps: int = 256
+    # computation dtype for sampling + MLPs ('float32' | 'bfloat16');
+    # params and accumulation stay f32
+    compute_dtype: str = 'bfloat16'
+    # decode only the first K valid samples per ray (None = dense max_steps)
+    compact_steps: Optional[int] = 64
 
     @nn.compact
     def __call__(self, code, xyzs, dirs=None, density_only=False,
@@ -91,16 +98,20 @@ class TriPlaneDecoder(nn.Module):
                 rng, 1.0 - self.code_dropout, code.shape[:3] + (1, 1))
             code = code * keep / (1.0 - self.code_dropout)
 
+        cdtype = jnp.dtype(self.compute_dtype)
         point_code = jax.vmap(
-            lambda c, x: sample_triplane(c, x, flip_z=self.flip_z)
+            lambda c, x: sample_triplane(c, x, flip_z=self.flip_z,
+                                         dtype=cdtype)
         )(code, xyzs)  # (num_scenes, N, 3*C)
 
         act = _ACT[self.activation]
-        base_x = MLP(self.base_layers, self.activation, name='base_net')(point_code)
+        base_x = MLP(self.base_layers, self.activation, dtype=cdtype,
+                     name='base_net')(point_code)
         base_x_act = act(base_x)
-        sigma_raw = MLP(self.density_layers, self.activation,
+        sigma_raw = MLP(self.density_layers, self.activation, dtype=cdtype,
                         name='density_net')(base_x_act)
-        sigmas = _ACT[self.sigma_activation](sigma_raw).squeeze(-1)
+        sigmas = _ACT[self.sigma_activation](
+            sigma_raw.astype(jnp.float32)).squeeze(-1)
 
         rgbs = None
         if not density_only:
@@ -108,15 +119,17 @@ class TriPlaneDecoder(nn.Module):
                 sh = sh_encode(dirs, degree=4)
                 if self.dir_layers is not None:
                     dir_out = MLP(self.dir_layers, self.activation,
-                                  zero_init_last=True, name='dir_net')(sh)
+                                  zero_init_last=True, dtype=cdtype,
+                                  name='dir_net')(sh)
                     color_in = act(base_x + dir_out)
                 else:
-                    color_in = jnp.concatenate([base_x_act, sh], axis=-1)
+                    color_in = jnp.concatenate(
+                        [base_x_act, sh.astype(base_x_act.dtype)], axis=-1)
             else:
                 color_in = base_x_act
-            rgb_raw = MLP(self.color_layers, self.activation,
+            rgb_raw = MLP(self.color_layers, self.activation, dtype=cdtype,
                           name='color_net')(color_in)
-            rgbs = jax.nn.sigmoid(rgb_raw)
+            rgbs = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
             if self.sigmoid_saturation > 0:
                 rgbs = rgbs * (1 + self.sigmoid_saturation * 2) - self.sigmoid_saturation
         return sigmas, rgbs

@@ -115,3 +115,56 @@ def t_sequence(t0, dt_gamma, dt_min, dt_max, num_steps):
     ts = jnp.where(k < n1, t_lin1, jnp.where(k < n1 + n2, t_geo, t_lin2))
     # gamma == 0: pure arithmetic with dt_min
     return jnp.where(g > 0, ts, t_lin1)
+
+
+def t_at_step(t0, step_k, dt_gamma, dt_min, dt_max):
+    """Evaluate the closed-form t-recurrence at arbitrary (float) step
+    indices ``step_k`` (same math as :func:`t_sequence` but with a given
+    k-grid instead of arange) — used to re-derive t values for compacted
+    sample slots from their step indices."""
+    t0 = t0[..., None]
+    k = step_k
+    g = jnp.maximum(jnp.asarray(dt_gamma, jnp.float32), 0.0)
+    g_safe = jnp.maximum(g, 1e-12)
+    A = dt_min / g_safe
+    B = dt_max / g_safe
+    log1pg = jnp.log1p(g_safe)
+    n1 = jnp.ceil(jnp.maximum(A - t0, 0.0) / dt_min)
+    t1 = t0 + n1 * dt_min
+    n2 = jnp.ceil(jnp.maximum(jnp.log(B / jnp.maximum(t1, 1e-12)), 0.0)
+                  / log1pg)
+    t2 = t1 * jnp.exp(n2 * log1pg)
+    t_lin1 = t0 + k * dt_min
+    t_geo = t1 * jnp.exp((k - n1) * log1pg)
+    t_lin2 = t2 + (k - n1 - n2) * dt_max
+    ts = jnp.where(k < n1, t_lin1, jnp.where(k < n1 + n2, t_geo, t_lin2))
+    return jnp.where(g > 0, ts, t_lin1)
+
+
+def compact_samples(valid, compact_steps, dtype=jnp.bfloat16):
+    """Gather-free per-ray compaction of valid sample slots.
+
+    For each ray, produces the step indices of its first ``compact_steps``
+    valid samples, via an exclusive-cumsum position + one-hot contraction
+    (an MXU matmul — TPU gathers/scatters are ~10ns/element and would
+    dominate).  Step indices <= 256 are exact in bf16.
+
+    Args:
+        valid: (..., T) bool.
+        compact_steps: static K << T.
+
+    Returns:
+        comp_step: (..., K) float32 step indices (0 where empty);
+        comp_valid: (..., K) bool.
+    """
+    T = valid.shape[-1]
+    K = compact_steps
+    pos = jnp.cumsum(valid, axis=-1) - 1                    # position of slot
+    keep = valid & (pos < K)
+    onehot = ((pos[..., None] == jnp.arange(K)) & keep[..., None]).astype(dtype)
+    steps = jnp.arange(T, dtype=dtype)
+    comp_step = jnp.einsum('...tk,t->...k', onehot, steps,
+                           preferred_element_type=jnp.float32)
+    n_valid = jnp.sum(valid, axis=-1)
+    comp_valid = jnp.arange(K) < jnp.minimum(n_valid, K)[..., None]
+    return comp_step, comp_valid

@@ -1,15 +1,39 @@
-"""Bilinear triplane feature sampling.
+"""Bilinear triplane feature sampling, MXU formulation.
 
-TPU-native gather+lerp equivalent of ``F.grid_sample(..., mode='bilinear',
+TPU-native equivalent of ``F.grid_sample(..., mode='bilinear',
 padding_mode='border', align_corners=False)`` as used by the reference
 triplane decoder (/root/reference/lib/models/decoders/triplane_decoder.py:119-160).
-The three plane projections follow ``xyz_transform``
-(triplane_decoder.py:104-117): xy, xz, yz.
+
+Design note: XLA gathers on TPU execute at ~10ns/index — a 33M-sample
+render would spend seconds in gathers (measured).  Instead, bilinear
+interpolation is expressed with *hat-function weight matrices*:
+``X[n, w] = relu(1 - |w - fx_n|)`` has exactly the two bilinear taps as
+nonzeros, so sampling becomes two dense contractions that run on the MXU:
+
+    R[n, h, c] = sum_w X[n, w] * P[c, h, w]      (the big matmul)
+    out[n, c]  = sum_h Y[n, h] * R[n, h, c]      (cheap weighted reduction)
+
+Border padding falls out of clamping fx/fy to [0, size-1] before building
+the hats.  The three plane projections follow ``xyz_transform``
+(triplane_decoder.py:104-117): xy, xz, yz — and their hat matrices are
+shared (only 3 hats for 6 plane-axis uses).
 """
 import jax.numpy as jnp
 
 
-def grid_sample_2d(image, coords):
+def _hat_weights(f, size, dtype):
+    """(N,) fractional coords -> (N, size) bilinear weight rows."""
+    f = jnp.clip(f, 0.0, size - 1.0)
+    idx = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(1.0 - jnp.abs(idx[None, :] - f[:, None]), 0.0).astype(dtype)
+
+
+def _pixel_coords(c, size):
+    """[-1, 1] normalized coord -> pixel-center coord (align_corners=False)."""
+    return (c + 1.0) * 0.5 * size - 0.5
+
+
+def grid_sample_2d(image, coords, dtype=jnp.float32):
     """Bilinear sample with border padding, align_corners=False.
 
     Args:
@@ -21,40 +45,26 @@ def grid_sample_2d(image, coords):
         (N, C) sampled features.
     """
     C, H, W = image.shape
-    # align_corners=False: pixel centers at (i + 0.5) / size * 2 - 1
-    fx = (coords[:, 0] + 1.0) * 0.5 * W - 0.5
-    fy = (coords[:, 1] + 1.0) * 0.5 * H - 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    wx = (fx - x0)[:, None]
-    wy = (fy - y0)[:, None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, W - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1)
+    X = _hat_weights(_pixel_coords(coords[:, 0], W), W, dtype)  # (N, W)
+    Y = _hat_weights(_pixel_coords(coords[:, 1], H), H, dtype)  # (N, H)
+    return _sample_with_hats(image, X, Y, dtype)
 
-    # TPU layout note: gather along the *leading* axis with 1D outputs per
-    # channel — a lane-axis gather like (C, HW)[:, idx] triggers massive
-    # lane padding on TPU (21x memory expansion observed).
-    flat = image.reshape(C, H * W)
 
-    def take(idx):
-        return jnp.stack([flat[c][idx] for c in range(C)], axis=-1)  # (N, C)
-
-    i00 = take(y0i * W + x0i)
-    i01 = take(y0i * W + x1i)
-    i10 = take(y1i * W + x0i)
-    i11 = take(y1i * W + x1i)
-    top = i00 * (1.0 - wx) + i01 * wx
-    bot = i10 * (1.0 - wx) + i11 * wx
-    return top * (1.0 - wy) + bot * wy
+def _sample_with_hats(image, X, Y, dtype):
+    """dtype is the *operand* dtype (bf16 hits the MXU at full rate);
+    accumulation stays f32 via preferred_element_type."""
+    C, H, W = image.shape
+    M = image.transpose(2, 1, 0).reshape(W, H * C).astype(dtype)  # (W, H*C)
+    R = jnp.dot(X, M, preferred_element_type=jnp.float32)         # (N, H*C)
+    R = R.reshape(-1, H, C)
+    return (Y.astype(jnp.float32)[:, :, None] * R).sum(axis=1)    # (N, C)
 
 
 def xyz_to_plane_coords(xyz, flip_z=False):
     """Project 3D points onto the three triplane coordinate frames.
 
     Returns (3, N, 2) with planes ordered (xy, xz, yz); last axis is the
-    (grid_x, grid_y) pair fed to :func:`grid_sample_2d`.
+    (grid_x, grid_y) pair.
     """
     if flip_z:
         xyz = jnp.concatenate([xyz[..., :2], -xyz[..., 2:]], axis=-1)
@@ -64,7 +74,7 @@ def xyz_to_plane_coords(xyz, flip_z=False):
     return jnp.stack([xy, xz, yz], axis=0)
 
 
-def sample_triplane(code, xyz, flip_z=False):
+def sample_triplane(code, xyz, flip_z=False, dtype=jnp.float32):
     """Sample features from a 3-plane code at 3D points.
 
     Args:
@@ -76,8 +86,18 @@ def sample_triplane(code, xyz, flip_z=False):
         match the reference's ``permute(0, 3, 2, 1)`` layout — feature f of
         plane p lands at column ``f * 3 + p`` (triplane_decoder.py:141).
     """
-    coords = xyz_to_plane_coords(xyz, flip_z=flip_z)  # (3, N, 2)
-    feats = jnp.stack([
-        grid_sample_2d(code[p], coords[p]) for p in range(3)
-    ], axis=-1)  # (N, C, 3)
-    return feats.reshape(feats.shape[0], -1)  # (N, C * 3), plane fastest
+    _, C, H, W = code.shape
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    if flip_z:
+        z = -z
+    # hat matrices, one per spatial axis, shared across planes
+    hx = _hat_weights(_pixel_coords(x, W), W, dtype)
+    hy = _hat_weights(_pixel_coords(y, H), H, dtype)
+    hz = _hat_weights(_pixel_coords(z, H), H, dtype)
+    # planes (grid_x -> W contraction, grid_y -> H reduction):
+    # xy: (x, y); xz: (x, z); yz: (y, z)
+    f_xy = _sample_with_hats(code[0], hx, hy, dtype)
+    f_xz = _sample_with_hats(code[1], hx, hz, dtype)
+    f_yz = _sample_with_hats(code[2], hy, hz, dtype)
+    feats = jnp.stack([f_xy, f_xz, f_yz], axis=-1)  # (N, C, 3)
+    return feats.reshape(feats.shape[0], C * 3)

@@ -250,3 +250,42 @@ def test_get_cam_rays_shapes_and_norm():
     assert rays_o.shape == (1, 1, 64, 64, 3)
     norms = np.linalg.norm(np.array(rays_d), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_compact_samples_matches_dense_composite():
+    """Compacted rendering must equal dense when K covers all valid slots."""
+    from ssdnerf_tpu.ops.marching import (compact_samples, t_at_step,
+                                          t_sequence, SQRT3)
+    rng = np.random.RandomState(7)
+    N, T, K = 32, 64, 16
+    max_steps = T
+    dt_min = 2 * SQRT3 / max_steps
+    dt_max = 2 * SQRT3 / 8
+    for dt_gamma in [0.0, 0.004]:
+        t0 = jnp.array(rng.uniform(0.2, 1.0, (N,)).astype(np.float32))
+        ts = t_sequence(t0, dt_gamma, dt_min, dt_max, T)
+        dts = jnp.clip(ts * dt_gamma, dt_min, dt_max)
+        # random masks with <= K valid per ray
+        valid = np.zeros((N, T), bool)
+        for i in range(N):
+            count = rng.randint(0, K + 1)
+            valid[i, np.sort(rng.choice(T, count, replace=False))] = True
+        valid = jnp.array(valid)
+
+        comp_step, comp_valid = compact_samples(valid, K)
+        comp_ts = t_at_step(t0, comp_step, dt_gamma, dt_min, dt_max)
+        comp_dts = jnp.clip(comp_ts * dt_gamma, dt_min, dt_max)
+
+        # synthetic per-sample sigma/rgb as functions of t (so dense and
+        # compacted evaluate identically per sample)
+        def sig_fn(t):
+            return 1.0 + t
+        def rgb_fn(t):
+            return jnp.stack([t, t * 0.5, jnp.ones_like(t)], -1)
+
+        d = composite_rays(sig_fn(ts), rgb_fn(ts), dts, ts, valid)
+        c = composite_rays(sig_fn(comp_ts), rgb_fn(comp_ts), comp_dts,
+                           comp_ts, comp_valid)
+        for a, b in zip(d, c):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
+                                       err_msg=f'dt_gamma={dt_gamma}')
