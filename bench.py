@@ -24,6 +24,12 @@ BASELINE_RAYS_PER_SEC = 1.0e7
 def main():
     import numpy as np
     import jax
+    try:  # persistent compile cache (first compile is minutes on TPU)
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax_comp_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from ssdnerf_tpu.config import Config
     from ssdnerf_tpu.registry import build_model
@@ -66,13 +72,15 @@ def main():
                             step_chunk=4)
         return out['image']
 
+    # NOTE: block_until_ready does not reliably block on the axon remote
+    # backend; force a host readback each iteration instead.
     img = render(code, rays_o, rays_d, bitfield)
-    jax.block_until_ready(img)
+    _ = float(img.sum())
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         img = render(code, rays_o, rays_d, bitfield)
-    jax.block_until_ready(img)
+        _ = float(img[0, 0, 0])
     dt = (time.perf_counter() - t0) / n_iters
     total_rays = S * h * w
     rays_per_sec = total_rays / dt
@@ -88,11 +96,11 @@ def main():
                 diff_params, x, jnp.zeros((S,), jnp.int32))
 
         y = unet_step(x)
-        jax.block_until_ready(y)
+        _ = float(y[0, 0, 0, 0])
         t0 = time.perf_counter()
         for _ in range(5):
             y = unet_step(x)
-        jax.block_until_ready(y)
+            _ = float(y[0, 0, 0, 0])
         ddim_sps = 5 * S / (time.perf_counter() - t0)
         print(f'[bench] ddim unet steps/sec (batch-items/s): {ddim_sps:.1f}',
               file=sys.stderr)

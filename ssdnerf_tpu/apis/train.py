@@ -77,6 +77,22 @@ def train_model(cfg, work_dir=None, resume_from=None, seed=0, rank=0,
             cfg.get('optimizer', {}).get('decoder'),
             schedules.get('decoder'))
 
+    # model.pretrained / cfg.load_from: load matching param groups from an
+    # existing checkpoint (base_nerf.py:124-125 / mmcv load_from semantics)
+    for ckpt_path in (cfg.model.get('pretrained'), cfg.get('load_from')):
+        if ckpt_path and os.path.isfile(ckpt_path):
+            from ..core.checkpoint import load_checkpoint
+            loaded, _, _ = load_checkpoint(ckpt_path)
+            n = 0
+            for k in list(state.keys()):
+                if k in loaded and not k.startswith('opt_'):
+                    from flax import serialization
+                    state[k] = serialization.from_state_dict(
+                        state[k], loaded[k]) if state[k] is not None \
+                        else loaded[k]
+                    n += 1
+            print(f'Loaded {n} state groups from {ckpt_path}')
+
     cache = model.make_cache(rank, world_size) if model.cache_size > 0 \
         else None
     if cache is not None:

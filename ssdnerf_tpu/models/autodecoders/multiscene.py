@@ -141,6 +141,7 @@ class MultiSceneNeRF:
         self.mean_scale = cfg.get('mean_scale', 1.0)
         self.cache_size = cfg.get('cache_size', 0)
         self.cache_16bit = cfg.get('cache_16bit', False)
+        self.num_file_writers = cfg.get('num_file_writers', 0)
         self.train_cfg = dict(train_cfg or {})
         self.test_cfg = dict(test_cfg or {})
         self.step_chunk = cfg.get('step_chunk', None)

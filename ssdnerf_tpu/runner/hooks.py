@@ -144,14 +144,26 @@ class ResetCacheHook(Hook):
 
 class MeanCacheHook(Hook):
     """Replace every cached code with the dataset mean code — the 'triplane
-    reset' (cache.py:173-228, ssdnerf_cars3v_uncond_2m.py:165-168)."""
+    reset' (cache.py:173-228, ssdnerf_cars3v_uncond_2m.py:165-168).
+    ``load_from`` optionally preloads the cache from a code dir first."""
 
-    def __init__(self, step=(), **kwargs):
+    def __init__(self, step=(), load_from=None, **kwargs):
         self.steps = set(step)
+        self.load_from = load_from
+
+    def before_run(self, runner):
+        if 0 in self.steps:
+            self._apply(runner)
 
     def after_train_iter(self, runner):
-        if runner.iteration not in self.steps:
-            return
+        if runner.iteration in self.steps:
+            self._apply(runner)
+
+    def _apply(self, runner):
+        if self.load_from is not None:
+            from ..apis.train import load_cache_from_dir
+            load_cache_from_dir(runner.cache, self.load_from,
+                                runner.scene_names)
         cache = runner.cache
         model = runner.model
         init_code = runner.state.get('init_code')

@@ -117,7 +117,7 @@ class Runner:
                 self._step = self._build_step(stage2)
             if stage2:
                 self.state, log_vars = self._step(self.state, data, key)
-            else:
+            elif self.cache is not None:
                 scene_batch = self.cache.load(
                     batch['scene_id'],
                     init_code_fn=lambda n: model.get_init_code_np(
@@ -130,12 +130,77 @@ class Runner:
                                 scene_batch['opt'],
                                 scene_batch['density_grid'],
                                 scene_batch['density_bitfield'])
+            else:
+                # filesystem cache mode (multiscene_nerf.py:56-69,139-183):
+                # per-scene state rides the data batch; results are written
+                # back to train_cfg.save_dir by background writers.
+                scene_batch = self._scene_batch_from_data(batch)
+                self.state, scene_batch, log_vars = self._step(
+                    self.state, scene_batch, data, key)
+                self._save_scene_files(batch, scene_batch)
             self.last_log_vars = log_vars
             self.iteration += 1  # = number of completed iterations
             for hook in self.hooks:
                 hook.after_train_iter(self)
         for hook in self.hooks:
             hook.after_run(self)
+
+    # ---------------------------------------------------------------- #
+    # filesystem cache mode helpers
+    # ---------------------------------------------------------------- #
+    def _scene_batch_from_data(self, batch):
+        import jax.numpy as jnp
+        from ..models.autodecoders.base import SceneOptState
+        model = self.model
+        S = len(batch['scene_id'])
+        cs = model.code_size
+        gs = model.grid_size
+        blob = batch.get('code')
+        if blob and 'code_' in blob:
+            code_ = jnp.asarray(blob['code_'], jnp.float32)
+            grid = jnp.asarray(blob['density_grid'])
+            bitfield = jnp.asarray(blob['density_bitfield'])
+            m = jnp.asarray(blob.get('optimizer_m',
+                                     np.zeros((S,) + cs)), jnp.float32)
+            v = jnp.asarray(blob.get('optimizer_v',
+                                     np.zeros((S,) + cs)), jnp.float32)
+            step = jnp.asarray(blob.get('optimizer_step', np.zeros(S)),
+                               jnp.int32)
+        else:
+            code_ = jnp.asarray(self.model.get_init_code_np(
+                S, self._init_rng,
+                np.asarray(self.state['init_code'])
+                if self.state.get('init_code') is not None else None))
+            grid = jnp.zeros((S, gs ** 3), jnp.float16)
+            bitfield = jnp.zeros((S, gs ** 3 // 8), jnp.uint8)
+            m = jnp.zeros_like(code_)
+            v = jnp.zeros_like(code_)
+            step = jnp.zeros((S,), jnp.int32)
+        return dict(code_=code_, opt=SceneOptState(m=m, v=v, step=step),
+                    density_grid=grid, density_bitfield=bitfield)
+
+    def _save_scene_files(self, batch, scene_batch):
+        save_dir = self.model.train_cfg.get('save_dir')
+        if save_dir is None:
+            return
+        os.makedirs(save_dir, exist_ok=True)
+        if not hasattr(self, '_writer_pool'):
+            from concurrent.futures import ThreadPoolExecutor
+            n = max(1, getattr(self.model, 'num_file_writers', 1) or 1)
+            self._writer_pool = ThreadPoolExecutor(max_workers=n)
+        code_ = np.asarray(scene_batch['code_'])
+        m = np.asarray(scene_batch['opt'].m)
+        v = np.asarray(scene_batch['opt'].v)
+        step = np.asarray(scene_batch['opt'].step)
+        grid = np.asarray(scene_batch['density_grid'])
+        bitfield = np.asarray(scene_batch['density_bitfield'])
+        for i, name in enumerate(batch['scene_name']):
+            path = os.path.join(save_dir, name + '.npz')
+            self._writer_pool.submit(
+                np.savez, path, scene_id=int(batch['scene_id'][i]),
+                scene_name=name, code_=code_[i], density_grid=grid[i],
+                density_bitfield=bitfield[i], optimizer_m=m[i],
+                optimizer_v=v[i], optimizer_step=step[i])
 
     # ---------------------------------------------------------------- #
     def ckpt_path(self, iteration=None):

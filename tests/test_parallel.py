@@ -1,0 +1,86 @@
+"""Multi-device tests: data-parallel train step over an 8-device CPU mesh,
+parity with the single-device step, and the driver dryrun entry."""
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ssdnerf_tpu.models.autodecoders import DiffusionNeRF
+from ssdnerf_tpu.models.autodecoders.base import adam_init
+from ssdnerf_tpu.parallel import (make_mesh, replicate, shard_scenes,
+                                  make_parallel_train_step)
+from synthetic import make_batch, TINY_MODEL_CFG, TINY_TRAIN_CFG, TINY_TEST_CFG
+
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason='needs 8 virtual devices')
+
+
+def _setup(num_scenes=8):
+    model = DiffusionNeRF(dict(TINY_MODEL_CFG),
+                          train_cfg=dict(TINY_TRAIN_CFG, extra_scene_step=1),
+                          test_cfg=dict(TINY_TEST_CFG))
+    opt_cfgs = dict(diffusion=dict(type='Adam', lr=1e-4),
+                    decoder=dict(type='Adam', lr=1e-3))
+    state = model.init_state(jax.random.PRNGKey(0), opt_cfgs)
+    txs = dict(
+        diffusion=model.make_optimizer(opt_cfgs['diffusion'], None, 'd'),
+        decoder=model.make_optimizer(opt_cfgs['decoder'], None, 'd'))
+    data_np = make_batch(num_scenes=num_scenes, num_views=2, h=16, w=16)
+    data = {k: jnp.asarray(v) for k, v in data_np.items()
+            if k != 'scene_name'}
+    rng = np.random.RandomState(0)
+    code_ = jnp.asarray(model.get_init_code_np(num_scenes, rng))
+    scene_batch = dict(
+        code_=code_, opt=adam_init(code_),
+        density_grid=jnp.zeros((num_scenes, model.grid_size ** 3),
+                               jnp.float16),
+        density_bitfield=jnp.full(
+            (num_scenes, model.grid_size ** 3 // 8), 255, jnp.uint8))
+    return model, state, txs, scene_batch, data
+
+
+def test_parallel_step_runs_and_matches_semantics():
+    model, state, txs, scene_batch, data = _setup()
+    key = jax.random.PRNGKey(1)
+
+    # single-device result
+    single = jax.jit(lambda s, b, d, k: model.train_step(
+        s, b, d, k, txs['diffusion'], txs['decoder']))
+    s1, b1, logs1 = single(state, scene_batch, data, key)
+
+    mesh = make_mesh(8)
+    state_r = replicate(state, mesh)
+    batch_s = shard_scenes(scene_batch, mesh)
+    data_s = shard_scenes(data, mesh)
+    key_r = replicate(key, mesh)
+    step = make_parallel_train_step(model, txs, mesh)(
+        state_r, batch_s, data_s, key_r)
+    s8, b8, logs8 = step(state_r, batch_s, data_s, key_r)
+
+    # one logical program: results must match the single-device run exactly
+    # (same global batch, same rng)
+    # (tolerances allow cross-device reduction-order float differences)
+    np.testing.assert_allclose(float(logs8['loss_diffusion']),
+                               float(logs1['loss_diffusion']), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(b8['code_']), np.asarray(b1['code_']), atol=1e-3)
+    # params stayed replicated (no divergence across devices)
+    leaf8 = jax.tree_util.tree_leaves(s8['diffusion'])[0]
+    leaf1 = jax.tree_util.tree_leaves(s1['diffusion'])[0]
+    np.testing.assert_allclose(np.asarray(leaf8), np.asarray(leaf1),
+                               atol=1e-3)
+    # scene state is actually sharded over the mesh
+    shard_devs = {s.device for s in b8['code_'].addressable_shards}
+    assert len(shard_devs) == 8
+
+
+def test_graft_dryrun_multichip():
+    import importlib
+    mod = importlib.import_module('__graft_entry__')
+    mod.dryrun_multichip(8)
