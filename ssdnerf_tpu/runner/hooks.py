@@ -302,8 +302,33 @@ class CheckpointHook(Hook):
         runner.save_checkpoint()
 
 
+class ProfilerHook(Hook):
+    """jax.profiler trace capture over a window of iterations (SURVEY.md
+    section 5: the reference has no tracing; this is the TPU-native
+    equivalent — view with TensorBoard or xprof)."""
+
+    def __init__(self, start_iter=10, num_iters=5, out_dir=None, **kwargs):
+        self.start_iter = start_iter
+        self.num_iters = num_iters
+        self.out_dir = out_dir
+        self._active = False
+
+    def after_train_iter(self, runner):
+        if runner.iteration == self.start_iter and not self._active:
+            out = self.out_dir or os.path.join(runner.work_dir, 'profile')
+            jax.profiler.start_trace(out)
+            self._active = True
+            runner.log_text(f'ProfilerHook: tracing to {out}')
+        elif self._active and runner.iteration >= \
+                self.start_iter + self.num_iters:
+            jax.profiler.stop_trace()
+            self._active = False
+            runner.log_text('ProfilerHook: trace complete')
+
+
 _HOOKS = {
     'ExponentialMovingAverageHook': EMAHook,
+    'ProfilerHook': ProfilerHook,
     'SaveCacheHook': SaveCacheHook,
     'ResetCacheHook': ResetCacheHook,
     'MeanCacheHook': MeanCacheHook,
