@@ -122,11 +122,20 @@ def train_model(cfg, work_dir=None, resume_from=None, seed=0, rank=0,
             dataset=val_dataset, metrics=metrics, **ev))
     hooks.sort(key=lambda h: h.priority)
 
+    # local device mesh: shard the scene batch across chips when possible
+    mesh = None
+    batch_size = cfg.data.get('samples_per_gpu', 8)
+    n_local = jax.local_device_count()
+    if n_local > 1 and batch_size % n_local == 0:
+        from ..parallel import make_mesh
+        mesh = make_mesh(n_local)
+        print(f'Data-parallel over {n_local} local devices.')
+
     runner = Runner(
         model, state, cache, loader, txs, work_dir,
         max_iters=max_iters or cfg.get('total_iters', 1000000),
         hooks=hooks, scene_names=scene_names, rank=rank,
-        world_size=world_size, seed=seed)
+        world_size=world_size, seed=seed, mesh=mesh)
     if resume_from:
         runner.resume(resume_from)
     runner.run()

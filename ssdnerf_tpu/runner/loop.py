@@ -78,6 +78,11 @@ class Runner:
                 new_s, _, logs = step(s, None, d, k)
                 return new_s, logs
             return jax.jit(stage2_step)
+        if self.mesh is not None:
+            from ..parallel.sharding import make_parallel_train_step
+            self._parallel_compile = make_parallel_train_step(
+                model, self.txs, self.mesh)
+            return None  # compiled lazily against the first sharded inputs
         # NOTE: donation of (state, scene_batch) is deferred — at init the
         # EMA params alias the raw params (same buffers), which XLA rejects
         # as double-donation.  Re-enable once EMA state is de-aliased.
@@ -124,6 +129,17 @@ class Runner:
                         n, self._init_rng,
                         np.asarray(self.state['init_code'])
                         if self.state.get('init_code') is not None else None))
+                if self.mesh is not None:
+                    from ..parallel.sharding import replicate, shard_scenes
+                    scene_batch = shard_scenes(scene_batch, self.mesh)
+                    data = shard_scenes(data, self.mesh)
+                    if not getattr(self, '_state_sharded', False):
+                        self.state = replicate(self.state, self.mesh)
+                        self._state_sharded = True
+                    key = replicate(key, self.mesh)
+                    if self._step is None:
+                        self._step = self._parallel_compile(
+                            self.state, scene_batch, data, key)
                 self.state, scene_batch, log_vars = self._step(
                     self.state, scene_batch, data, key)
                 self.cache.save(batch['scene_id'], scene_batch['code_'],

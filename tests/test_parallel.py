@@ -84,3 +84,34 @@ def test_graft_dryrun_multichip():
     import importlib
     mod = importlib.import_module('__graft_entry__')
     mod.dryrun_multichip(8)
+
+
+def test_train_model_with_mesh(tmp_path):
+    """train_model picks up the 8-device mesh automatically."""
+    import cv2  # noqa: F401  (dataset writer dependency)
+    from ssdnerf_tpu.config import Config
+    from ssdnerf_tpu.apis import train_model
+    from test_pipeline import _write_srn_scene
+    root = str(tmp_path / 'srn')
+    for i in range(8):
+        _write_srn_scene(root, f'scene{i:03d}', seed=i)
+    cfg = Config._wrap(dict(
+        model=dict(TINY_MODEL_CFG, cache_size=8),
+        train_cfg=dict(TINY_TRAIN_CFG, extra_scene_step=1),
+        test_cfg=dict(TINY_TEST_CFG),
+        optimizer=dict(
+            diffusion=dict(type='Adam', lr=1e-4, weight_decay=0.),
+            decoder=dict(type='Adam', lr=1e-3, weight_decay=0.)),
+        data=dict(
+            samples_per_gpu=8,
+            train=dict(type='ShapeNetSRN', data_prefix=root),
+            train_dataloader=dict(split_data=True)),
+        lr_config=dict(policy='Fixed'),
+        checkpoint_config=dict(interval=0),
+        log_config=dict(interval=1),
+        total_iters=2,
+        custom_hooks=[]))
+    runner = train_model(cfg, work_dir=str(tmp_path / 'wd'), max_iters=2)
+    assert runner.mesh is not None
+    assert runner.iteration == 2
+    assert np.isfinite(float(runner.last_log_vars['loss_diffusion']))
