@@ -88,10 +88,12 @@ class SaveCacheHook(Hook):
     (cache.py:14-68).  Files are .npz with the reference's key names."""
     priority = 50
 
-    def __init__(self, interval=5000, out_dir=None, viz_dir=None, **kwargs):
+    def __init__(self, interval=5000, out_dir=None, viz_dir=None,
+                 viz_step=32, **kwargs):
         self.interval = interval
         self.out_dir = out_dir
         self.viz_dir = viz_dir
+        self.viz_step = viz_step
 
     def after_train_iter(self, runner):
         if not self.every_n_iters(runner, self.interval):
@@ -121,7 +123,22 @@ class SaveCacheHook(Hook):
                 optimizer_m=cache.m[li], optimizer_v=cache.v[li],
                 optimizer_step=cache.step[li])
         if self.viz_dir is not None:
-            os.makedirs(self.viz_dir, exist_ok=True)
+            # triplane visualizations for every viz_step-th cached scene
+            # (cache.py viz_step semantics)
+            from ..apis.eval_utils import visualize_triplane
+            model = runner.model
+            sel = [li for li in range(0, cache.local_size,
+                                      max(self.viz_step, 1))
+                   if cache.seen[li]]
+            if sel:
+                codes = jnp.asarray(
+                    cache.code_[sel].astype(np.float32))
+                codes = model.code_activation(
+                    codes, runner.state.get('code_act'))
+                sel_names = [
+                    names[cache.offset + li] if names is not None
+                    else f'{cache.offset + li:06d}' for li in sel]
+                visualize_triplane(codes, sel_names, self.viz_dir)
 
 
 class ResetCacheHook(Hook):
