@@ -51,13 +51,16 @@ def grid_sample_2d(image, coords, dtype=jnp.float32):
 
 
 def _sample_with_hats(image, X, Y, dtype):
-    """dtype is the *operand* dtype (bf16 hits the MXU at full rate);
-    accumulation stays f32 via preferred_element_type."""
+    """dtype is the operand *and* intermediate dtype: bf16 hits the MXU at
+    full rate and halves the traffic of the dominant (N, H*C) intermediate
+    (MXU accumulation is f32 internally either way); the final H-reduction
+    accumulates in f32."""
     C, H, W = image.shape
     M = image.transpose(2, 1, 0).reshape(W, H * C).astype(dtype)  # (W, H*C)
-    R = jnp.dot(X, M, preferred_element_type=jnp.float32)         # (N, H*C)
+    R = jnp.dot(X, M, preferred_element_type=dtype)               # (N, H*C)
     R = R.reshape(-1, H, C)
-    return (Y.astype(jnp.float32)[:, :, None] * R).sum(axis=1)    # (N, C)
+    out = jnp.einsum('nh,nhc->nc', Y, R, preferred_element_type=jnp.float32)
+    return out
 
 
 def xyz_to_plane_coords(xyz, flip_z=False):
