@@ -91,15 +91,15 @@ def main():
         x = jax.random.normal(key, (S, 18, 128, 128))
 
         @jax.jit
-        def unet_step(x):
+        def unet_step(p, x):
             return model.diffusion._apply_unet(
-                diff_params, x, jnp.zeros((S,), jnp.int32))
+                p, x, jnp.zeros((S,), jnp.int32))
 
-        y = unet_step(x)
+        y = unet_step(diff_params, x)
         _ = float(y[0, 0, 0, 0])
         t0 = time.perf_counter()
         for _ in range(5):
-            y = unet_step(x)
+            y = unet_step(diff_params, x)
             _ = float(y[0, 0, 0, 0])
         ddim_sps = 5 * S / (time.perf_counter() - t0)
         print(f'[bench] ddim unet steps/sec (batch-items/s): {ddim_sps:.1f}',
