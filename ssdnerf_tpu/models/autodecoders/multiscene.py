@@ -144,8 +144,10 @@ class MultiSceneNeRF:
         self.num_file_writers = cfg.get('num_file_writers', 0)
         self.train_cfg = dict(train_cfg or {})
         self.test_cfg = dict(test_cfg or {})
-        self.step_chunk = cfg.get('step_chunk', None)
-        self.density_point_chunk = cfg.get('density_point_chunk', None)
+        # memory-bounding chunk sizes for the big decode batches (the
+        # triplane-sampling intermediate is ~1.5KB per point)
+        self.step_chunk = cfg.get('step_chunk', 16)
+        self.density_point_chunk = cfg.get('density_point_chunk', 32768)
 
     # -------------------------------------------------------------- #
     # mutable-config surface (ModelUpdaterHook, test_cfg.override_cfg)

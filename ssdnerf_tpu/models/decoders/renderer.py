@@ -91,10 +91,10 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
 
     decode_chunk = jax.checkpoint(decode_chunk)
 
-    if step_chunk is None or step_chunk >= max_steps:
+    if step_chunk is None or step_chunk >= max_steps \
+            or max_steps % step_chunk != 0:
         sigmas, rgbs = decode_chunk(res.ts)
     else:
-        assert max_steps % step_chunk == 0
         n_chunks = max_steps // step_chunk
         ts_c = res.ts.reshape(num_scenes, N, n_chunks, step_chunk)
         sig_c, rgb_c = jax.lax.map(decode_chunk, jnp.moveaxis(ts_c, 2, 0))
@@ -121,6 +121,9 @@ def _decode_density_all_voxels(decoder, params, code, key, grid_size,
     xyzs = xyzs + jax.random.uniform(
         key, xyzs.shape, minval=-half_voxel, maxval=half_voxel)
     xyzs = jnp.broadcast_to(xyzs[None], (num_scenes, H ** 3, 3))
+    if point_chunk is not None and (point_chunk >= H ** 3
+                                    or H ** 3 % point_chunk != 0):
+        point_chunk = None
     if point_chunk is None:
         sigmas = decoder.apply(params, code, xyzs, density_only=True)[0]
     else:
