@@ -83,7 +83,8 @@ class DiffusionNeRF(MultiSceneNeRF):
         diff_params = self.diffusion.init_params(k_diff)
         state['diffusion'] = diff_params
         if self.diffusion_use_ema:
-            state['diffusion_ema'] = diff_params
+            state['diffusion_ema'] = jax.tree_util.tree_map(
+                jnp.copy, diff_params)
         tx = self.make_optimizer(optimizer_cfg.get('diffusion'),
                                  lr_schedules.get('diffusion'), 'diffusion')
         state['opt_diffusion'] = tx.init(diff_params)

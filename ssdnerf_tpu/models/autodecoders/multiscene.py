@@ -226,7 +226,8 @@ class MultiSceneNeRF:
             k1, dummy_code, jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
         state = dict(decoder=params)
         if self.decoder_use_ema:
-            state['decoder_ema'] = params
+            # materialize a distinct copy so step buffers can be donated
+            state['decoder_ema'] = jax.tree_util.tree_map(jnp.copy, params)
         tx = self.make_optimizer(optimizer_cfg, lr_schedule, 'decoder')
         state['opt_decoder'] = tx.init(params)
         state['code_act'] = self.code_activation.init_state()

@@ -83,10 +83,9 @@ class Runner:
             self._parallel_compile = make_parallel_train_step(
                 model, self.txs, self.mesh)
             return None  # compiled lazily against the first sharded inputs
-        # NOTE: donation of (state, scene_batch) is deferred — at init the
-        # EMA params alias the raw params (same buffers), which XLA rejects
-        # as double-donation.  Re-enable once EMA state is de-aliased.
-        return jax.jit(step)
+        # state + scene batch buffers are donated (EMA params are distinct
+        # copies since init, so no double-donation)
+        return jax.jit(step, donate_argnums=(0, 1))
 
     def _prepare_data(self, batch):
         data = {}
