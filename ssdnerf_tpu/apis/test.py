@@ -23,6 +23,35 @@ def _val_batches(dataset, batch_size, max_num=None):
         yield collate([dataset[j] for j in ids]), pad
 
 
+def _save_scenes(model, state, batch, code, grid, bitfield, num_valid,
+                 save_dir):
+    """Per-scene .npz dumps + optional mesh export (base_nerf.py:160-182,
+    diffusion_nerf.py:453-461)."""
+    import os
+    os.makedirs(save_dir, exist_ok=True)
+    code_np = np.asarray(code)
+    grid_np = np.asarray(grid)
+    bf_np = np.asarray(bitfield)
+    names = batch.get('scene_name',
+                      [f'{int(i):06d}' for i in batch['scene_id']])
+    for i in range(num_valid):
+        np.savez(os.path.join(save_dir, str(names[i]) + '.npz'),
+                 scene_name=str(names[i]), code=code_np[i],
+                 density_grid=grid_np[i], density_bitfield=bf_np[i])
+    if model.test_cfg.get('save_mesh', False):
+        from ..core.mesh import extract_geometry, save_stl
+        dec_params = state.get('decoder_ema', state['decoder']) \
+            if model.decoder_use_ema else state['decoder']
+        res = model.test_cfg.get('mesh_resolution', 256)
+        thresh = model.test_cfg.get('mesh_threshold', 10)
+        for i in range(num_valid):
+            verts, tris = extract_geometry(
+                model.decoder, dec_params, jnp.asarray(code_np[i]),
+                resolution=res, threshold=thresh)
+            save_stl(os.path.join(save_dir, str(names[i]) + '.stl'),
+                     verts, tris)
+
+
 def evaluate_3d(model, state, dataset, batch_size=8, metrics=None,
                 viz_dir=None, sample_kwargs=None, max_num_scenes=None,
                 seed=0, log_fn=print):
@@ -60,6 +89,10 @@ def evaluate_3d(model, state, dataset, batch_size=8, metrics=None,
             code, grid, bitfield = model.val_step(state, data, sub)
 
         num_valid = code.shape[0] - pad
+        save_dir = model.test_cfg.get('save_dir')
+        if save_dir is not None:
+            _save_scenes(model, state, batch, code, grid, bitfield, num_valid,
+                         save_dir)
         log_vars = {}
         if 'test_poses' in data:
             log_vars, pred_imgs = eval_and_viz(

@@ -118,3 +118,31 @@ def test_surround_views():
     assert poses.shape == (12, 4, 4)
     radii = np.linalg.norm(poses[:, :3, 3], axis=-1)
     np.testing.assert_allclose(radii, radii[0], rtol=1e-4)
+
+
+def test_evaluate_3d_save_scene_and_mesh(model_state, tmp_path):
+    from ssdnerf_tpu.apis.test import evaluate_3d
+    model, state = model_state
+    model.test_cfg['save_dir'] = str(tmp_path / 'save')
+    model.test_cfg['save_mesh'] = True
+    model.test_cfg['mesh_resolution'] = 24
+    model.test_cfg['mesh_threshold'] = 0.001
+    try:
+        class DS:
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, i):
+                d = make_batch(num_scenes=1, num_views=2, h=16, w=16, seed=i)
+                return dict(scene_id=i, scene_name=f'{i:04d}',
+                            cond_imgs=d['cond_imgs'][0, :1],
+                            cond_poses=d['cond_poses'][0, :1],
+                            cond_intrinsics=d['cond_intrinsics'][0, :1])
+
+        evaluate_3d(model, state, DS(), batch_size=1, log_fn=lambda s: None)
+        files = os.listdir(str(tmp_path / 'save'))
+        assert '0000.npz' in files
+        assert '0000.stl' in files
+    finally:
+        model.test_cfg.pop('save_dir')
+        model.test_cfg.pop('save_mesh')

@@ -50,7 +50,8 @@ def main():
         'work_dir', os.path.join('work_dirs',
                                  os.path.splitext(
                                      os.path.basename(args.config))[0]))
-    train_model(cfg, work_dir=work_dir, resume_from=args.resume_from,
+    resume_from = args.resume_from or cfg.get('resume_from')
+    train_model(cfg, work_dir=work_dir, resume_from=resume_from,
                 seed=seed, rank=rank, world_size=world_size,
                 max_iters=args.max_iters)
 
