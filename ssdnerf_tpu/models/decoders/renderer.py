@@ -51,18 +51,34 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
     else:
         noise = jnp.zeros((num_scenes, N))
 
+    # Optional exact work reduction: clip each ray to the per-scene occupied
+    # AABB and march fewer slots at the same dt (march_slots decoder field).
+    num_slots = max_steps
+    march_slots = getattr(decoder, 'march_slots', None)
+    if march_slots is not None and march_slots < max_steps:
+        from ...ops.marching import occupied_aabb
+        box = occupied_aabb(density_bitfield, grid_size, decoder.bound)
+        nb, fb = jax.vmap(
+            lambda o, d, b: near_far_from_aabb(o, d, b, decoder.min_near)
+        )(rays_o, rays_d, box)
+        nears = jnp.maximum(nears, nb)
+        fars = jnp.minimum(fars, fb)
+        num_slots = march_slots
+
     march = jax.vmap(
         lambda o, d, nr, fr, bf, dg, nz: march_rays(
-            o, d, nr, fr, bf, grid_size, decoder.bound, dg, max_steps, nz))
+            o, d, nr, fr, bf, grid_size, decoder.bound, dg, max_steps, nz,
+            num_slots=num_slots))
     res = march(rays_o, rays_d, nears, fars, density_bitfield, dt_gamma, noise)
-    # res.*: (num_scenes, N, max_steps)
+    # res.*: (num_scenes, N, num_slots)
 
     # Per-ray compaction: decode only the first K valid samples per ray
     # (empty space typically leaves <10% of the dense slots valid).  The
     # compacted step indices feed the closed-form t evaluation, so no
     # gathers are needed anywhere.
+    slots = num_slots
     compact_steps = getattr(decoder, 'compact_steps', None)
-    if compact_steps is not None and compact_steps < max_steps:
+    if compact_steps is not None and compact_steps < slots:
         comp_step, comp_valid = compact_samples(res.valid, compact_steps)
         dt_min = 2.0 * SQRT3 / max_steps
         dt_max = 2.0 * SQRT3 / grid_size
@@ -72,7 +88,7 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
         comp_dts = jnp.clip(comp_ts * dt_gamma[:, None, None], dt_min, dt_max)
         from ...ops.marching import MarchResults
         res = MarchResults(ts=comp_ts, dts=comp_dts, valid=comp_valid)
-        max_steps = compact_steps
+        slots = compact_steps
 
     def decode_chunk(ts_c):
         """Decode one chunk of the step axis: ts_c (S, N, K)."""
@@ -91,15 +107,15 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
 
     decode_chunk = jax.checkpoint(decode_chunk)
 
-    if step_chunk is None or step_chunk >= max_steps \
-            or max_steps % step_chunk != 0:
+    if step_chunk is None or step_chunk >= slots \
+            or slots % step_chunk != 0:
         sigmas, rgbs = decode_chunk(res.ts)
     else:
-        n_chunks = max_steps // step_chunk
+        n_chunks = slots // step_chunk
         ts_c = res.ts.reshape(num_scenes, N, n_chunks, step_chunk)
         sig_c, rgb_c = jax.lax.map(decode_chunk, jnp.moveaxis(ts_c, 2, 0))
-        sigmas = jnp.moveaxis(sig_c, 0, 2).reshape(num_scenes, N, max_steps)
-        rgbs = jnp.moveaxis(rgb_c, 0, 2).reshape(num_scenes, N, max_steps, 3)
+        sigmas = jnp.moveaxis(sig_c, 0, 2).reshape(num_scenes, N, slots)
+        rgbs = jnp.moveaxis(rgb_c, 0, 2).reshape(num_scenes, N, slots, 3)
 
     weights_sum, depth, image = composite_rays(
         sigmas, rgbs, res.dts, res.ts, res.valid, T_thresh)

@@ -74,6 +74,9 @@ class TriPlaneDecoder(nn.Module):
     compute_dtype: str = 'bfloat16'
     # decode only the first K valid samples per ray (None = dense max_steps)
     compact_steps: Optional[int] = 64
+    # march only this many slots, clipped to the per-scene occupied AABB
+    # (None = full max_steps; enable e.g. 128 once the grid has pruned)
+    march_slots: Optional[int] = None
 
     @nn.compact
     def __call__(self, code, xyzs, dirs=None, density_only=False,

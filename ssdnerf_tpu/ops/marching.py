@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .morton import morton3d
+from .morton import morton3d, morton3d_invert
 
 SQRT3 = float(np.sqrt(3.0))
 
@@ -34,7 +34,8 @@ class MarchResults(NamedTuple):
 
 
 def march_rays(rays_o, rays_d, nears, fars, density_bitfield, grid_size,
-               bound=1.0, dt_gamma=0.0, max_steps=256, perturb_noise=None):
+               bound=1.0, dt_gamma=0.0, max_steps=256, perturb_noise=None,
+               num_slots=None):
     """March rays through an occupancy bitfield (single scene).
 
     Args:
@@ -50,11 +51,16 @@ def march_rays(rays_o, rays_d, nears, fars, density_bitfield, grid_size,
             cover the full ray extent for bound == 1.
         perturb_noise: optional (N,) uniform [0,1) jitter of the start t
             (matches raymarching.cu:351).
+        num_slots: number of sample slots to generate (default max_steps).
+            ``max_steps`` always sets the dt scale; a smaller slot count
+            (with tightened nears/fars, see volume_render) marches a shorter
+            range at identical step sizes.
 
     Returns:
-        MarchResults with (N, max_steps) arrays.
+        MarchResults with (N, num_slots) arrays.
     """
     H = grid_size
+    num_slots = max_steps if num_slots is None else num_slots
     dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 / H  # C == 1 mip (all reference configs)
     mip_bound = min(1.0, float(bound))
@@ -63,7 +69,7 @@ def march_rays(rays_o, rays_d, nears, fars, density_bitfield, grid_size,
     if perturb_noise is not None:
         t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * perturb_noise
 
-    ts = t_sequence(t0, dt_gamma, dt_min, dt_max, max_steps)  # (N, K)
+    ts = t_sequence(t0, dt_gamma, dt_min, dt_max, num_slots)  # (N, K)
     dts = jnp.clip(ts * dt_gamma, dt_min, dt_max)
 
     x = jnp.clip(rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
@@ -139,6 +145,32 @@ def t_at_step(t0, step_k, dt_gamma, dt_min, dt_max):
     t_lin2 = t2 + (k - n1 - n2) * dt_max
     ts = jnp.where(k < n1, t_lin1, jnp.where(k < n1 + n2, t_geo, t_lin2))
     return jnp.where(g > 0, ts, t_lin1)
+
+
+def occupied_aabb(density_bitfield, grid_size, bound):
+    """Per-scene tight world-space AABB of the occupied voxels.
+
+    Marching only inside this box (with a reduced slot count) is exact:
+    everything outside is provably unoccupied so those samples would be
+    masked invalid anyway.  Empty scenes yield a degenerate box (lo > hi).
+
+    Args:
+        density_bitfield: (..., H^3 // 8) uint8 Morton-ordered.
+    Returns:
+        (..., 6) [xmin, ymin, zmin, xmax, ymax, zmax].
+    """
+    from .morton import unpackbits
+    H = grid_size
+    occ = unpackbits(density_bitfield)                       # (..., H^3)
+    coords = morton3d_invert(jnp.arange(H ** 3, dtype=jnp.int32))  # (H^3, 3)
+    coords = coords.astype(jnp.float32)
+    big = jnp.float32(H)
+    lo_idx = jnp.min(jnp.where(occ[..., None], coords, big), axis=-2)
+    hi_idx = jnp.max(jnp.where(occ[..., None], coords + 1.0, 0.0), axis=-2)
+    voxel = 2.0 * bound / H
+    lo = -bound + lo_idx * voxel
+    hi = -bound + hi_idx * voxel
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def compact_samples(valid, compact_steps, dtype=jnp.bfloat16):

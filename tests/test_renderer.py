@@ -150,3 +150,52 @@ def test_render_with_real_decoder_end_to_end():
                         perturb_key=jax.random.PRNGKey(3))
     assert np.all(np.isfinite(np.array(out['image'])))
     assert out['image'].shape == (1, 256, 3)
+
+
+def test_march_slots_with_occupied_box():
+    """Reduced-slot marching clipped to the occupied AABB reproduces the
+    dense render when occupancy is confined to a small region."""
+    from ssdnerf_tpu.ops.morton import morton_grid_indices, packbits
+    import flax.linen as nn
+
+    class SlabDecoder(ConstDecoder):
+        pass
+
+    H = 16
+    # occupancy: a z-slab at z in [0.25, 0.5] (voxel idx 10..11 of 16)
+    occ = np.zeros((H, H, H), bool)
+    occ[:, :, 10:12] = True
+    lut = morton_grid_indices(H)
+    grid = np.zeros(H ** 3, np.float32)
+    grid[lut.reshape(-1)] = occ.reshape(-1)
+    bf = np.array(packbits(jnp.array(grid[None]), 0.5))
+
+    N = 32
+    o = np.zeros((1, N, 3), np.float32)
+    o[..., 2] = -2.0
+    o[0, :, 0] = np.linspace(-0.6, 0.6, N)
+    o[0, :, 1] = np.linspace(-0.3, 0.3, N)
+    d = np.zeros((1, N, 3), np.float32)
+    d[..., 2] = 1.0
+
+    dec_dense = SlabDecoder(sigma=4.0, max_steps=128)
+    params = dec_dense.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 2, 4, 4)),
+                            jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+    code = jnp.zeros((1, 3, 2, 4, 4))
+    out_a = volume_render(dec_dense, params, code, jnp.array(o), jnp.array(d),
+                          jnp.array(bf), H, T_thresh=1e-6)
+
+    class SlabDecoderSlots(SlabDecoder):
+        march_slots: int = 48
+
+    dec_slots = SlabDecoderSlots(sigma=4.0, max_steps=128)
+    out_b = volume_render(dec_slots, params, code, jnp.array(o), jnp.array(d),
+                          jnp.array(bf), H, T_thresh=1e-6)
+    # same physical integral, different (but equally valid) stratification
+    # (sample positions shift by up to one dt at the slab boundary)
+    np.testing.assert_allclose(np.array(out_a['weights_sum']),
+                               np.array(out_b['weights_sum']), atol=0.06)
+    np.testing.assert_allclose(np.array(out_a['image']),
+                               np.array(out_b['image']), atol=0.06)
+    # rays missing the occupied box are exactly empty in both
+    assert float(out_b['weights_sum'].min()) >= 0.0
