@@ -34,7 +34,8 @@ def build_decoder(cfg):
     cfg = dict(cfg)
     kind = cfg.pop('type', 'TriPlaneDecoder')
     assert kind == 'TriPlaneDecoder', kind
-    for k in ('base_layers', 'density_layers', 'color_layers', 'dir_layers'):
+    for k in ('base_layers', 'density_layers', 'color_layers', 'dir_layers',
+              'scene_base_size', 'scene_rand_dims'):
         if cfg.get(k) is not None:
             cfg[k] = tuple(cfg[k])
     return TriPlaneDecoder(**cfg)

@@ -77,6 +77,9 @@ class TriPlaneDecoder(nn.Module):
     # march only this many slots, clipped to the per-scene occupied AABB
     # (None = full max_steps; enable e.g. 128 once the grid has pruned)
     march_slots: Optional[int] = None
+    # optional learnable shared additive code (triplane_decoder.py:44-51)
+    scene_base_size: Optional[Sequence[int]] = None
+    scene_rand_dims: Sequence[int] = (0, 1)
 
     @nn.compact
     def __call__(self, code, xyzs, dirs=None, density_only=False,
@@ -94,6 +97,17 @@ class TriPlaneDecoder(nn.Module):
             sigmas (num_scenes, N) and rgbs (num_scenes, N, 3) or None.
         """
         num_scenes = code.shape[0]
+        if self.scene_base_size is not None:
+            def init_base(key, shape):
+                rand_shape = [1] * len(shape)
+                for d in self.scene_rand_dims:
+                    rand_shape[d] = shape[d]
+                base = jax.random.normal(key, rand_shape)
+                return jnp.broadcast_to(base, shape).astype(jnp.float32)
+
+            scene_base = self.param('scene_base', init_base,
+                                    tuple(self.scene_base_size))
+            code = code + scene_base
         if self.code_dropout > 0 and not deterministic:
             # channel-wise 2D dropout over each plane (Dropout2d semantics)
             rng = self.make_rng('dropout')

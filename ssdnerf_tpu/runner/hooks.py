@@ -159,6 +159,57 @@ class ResetCacheHook(Hook):
             cache.density_bitfield[:] = 0
 
 
+class UpdateCacheHook(Hook):
+    """Mid-training full-dataset cache rebuild: re-optimize every cached
+    scene's code with test-time settings (cache.py:105-170)."""
+
+    def __init__(self, interval=0, step=(), batch_size=8, **kwargs):
+        self.interval = interval
+        self.steps = set(step)
+        self.batch_size = batch_size
+
+    def after_train_iter(self, runner):
+        if not (self.every_n_iters(runner, self.interval)
+                or runner.iteration in self.steps):
+            return
+        cache = runner.cache
+        model = runner.model
+        dataset = runner.data_loader.dataset
+        runner.log_text('UpdateCacheHook: rebuilding cache with test-time '
+                        'optimization...')
+        import jax
+        import jax.numpy as jnp
+        model.eval_mode()
+        try:
+            for start in range(0, cache.local_size, self.batch_size):
+                gids = [cache.offset + li for li in
+                        range(start, min(start + self.batch_size,
+                                         cache.local_size))]
+                samples = [dataset[g] for g in gids]
+                from ..data.builder import collate
+                batch = collate(samples)
+                data = {k: jnp.asarray(v) for k, v in batch.items()
+                        if isinstance(v, np.ndarray)}
+                key = jax.random.fold_in(runner.base_key,
+                                         10_000_000 + start)
+                code, grid, bitfield, _ = model.val_inverse_code(
+                    runner.state, data, key)
+                code_ = model.code_activation.inverse(
+                    code, runner.state.get('code_act'))
+                li = np.asarray(gids) - cache.offset
+                cache.code_[li] = np.asarray(code_).astype(cache.code_.dtype)
+                cache.density_grid[li] = np.asarray(grid)
+                cache.density_bitfield[li] = np.asarray(bitfield)
+                cache.m[li] = 0
+                cache.v[li] = 0
+                cache.step[li] = 0
+                cache.seen[li] = True
+        finally:
+            model.train_mode()
+        runner.invalidate_step()
+        runner.log_text('UpdateCacheHook: done.')
+
+
 class MeanCacheHook(Hook):
     """Replace every cached code with the dataset mean code — the 'triplane
     reset' (cache.py:173-228, ssdnerf_cars3v_uncond_2m.py:165-168).
@@ -348,6 +399,7 @@ _HOOKS = {
     'ProfilerHook': ProfilerHook,
     'SaveCacheHook': SaveCacheHook,
     'ResetCacheHook': ResetCacheHook,
+    'UpdateCacheHook': UpdateCacheHook,
     'MeanCacheHook': MeanCacheHook,
     'ModelUpdaterHook': ModelUpdaterHook,
     'SaveStatsHook': SaveStatsHook,
