@@ -187,3 +187,33 @@ def test_mesh_extraction_sphere():
         save_stl(f.name, verts, tris)
         size = os.path.getsize(f.name)
         assert size == 84 + 50 * len(tris)
+
+
+def test_dataloader_disjoint_batches(srn_root):
+    from ssdnerf_tpu.data import ShapeNetSRN, DataLoader
+
+    class IdxDataset:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return dict(scene_id=i, scene_name=f'{i:04d}',
+                        cond_imgs=np.zeros((1, 4, 4, 3), np.float32),
+                        cond_poses=np.eye(4, dtype=np.float32)[None],
+                        cond_intrinsics=np.ones((1, 4), np.float32))
+
+    loader = DataLoader(IdxDataset(), batch_size=2, shuffle=True, seed=3)
+    it = iter(loader)
+    prev = set()
+    for _ in range(30):
+        batch = next(it)
+        ids = set(int(i) for i in batch['scene_id'])
+        assert not (prev & ids), 'scene repeated in consecutive batches'
+        prev = ids
+    loader.close()
+
+    # split_data rank sharding is contiguous
+    l0 = DataLoader(IdxDataset(), batch_size=2, rank=0, world_size=2)
+    l1 = DataLoader(IdxDataset(), batch_size=2, rank=1, world_size=2)
+    assert set(l0.indices) | set(l1.indices) == set(range(7))
+    assert max(l0.indices) < min(l1.indices)
