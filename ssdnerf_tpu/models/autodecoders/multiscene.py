@@ -117,6 +117,153 @@ class SceneCache:
         for k, v in d.items():
             getattr(self, k)[...] = v
 
+    def seen_mask(self):
+        return self.seen
+
+    def reset(self):
+        self.seen[:] = False
+        for k in ('code_', 'm', 'v', 'step', 'density_grid',
+                  'density_bitfield'):
+            getattr(self, k)[...] = 0
+
+    def set_codes(self, code_, zero_opt=True):
+        """Overwrite every scene's raw code (code_ may be a single code to
+        broadcast)."""
+        self.code_[:] = np.asarray(code_).astype(self.code_.dtype)
+        if zero_opt:
+            self.m[:] = 0
+            self.v[:] = 0
+            self.step[:] = 0
+
+    def write_scenes(self, local_idx, code_, density_grid, density_bitfield,
+                     zero_opt=True):
+        li = np.asarray(local_idx)
+        self.code_[li] = np.asarray(code_).astype(self.code_.dtype)
+        self.density_grid[li] = np.asarray(density_grid)
+        self.density_bitfield[li] = np.asarray(density_bitfield)
+        if zero_opt:
+            self.m[li] = 0
+            self.v[li] = 0
+            self.step[li] = 0
+        self.seen[li] = True
+
+
+class DeviceSceneCache:
+    """HBM-resident scene cache: the whole stacked scene bank (codes, Adam
+    moments, density grids/bitfields) lives on device; per-batch access is
+    an on-device row gather/scatter instead of a host round-trip (SURVEY.md
+    section 7 hard part #2 — the reference ships per-scene state CPU<->GPU
+    every iteration, multiscene_nerf.py:71-183).
+
+    Same interface as SceneCache; use for cache sizes that fit HBM
+    (cache_16bit recommended for the 2458-scene SRN Cars bank: ~5.8 GB).
+    """
+
+    def __init__(self, cache_size, code_size, grid_size, cache_16bit=False,
+                 rank=0, world_size=1):
+        split = np.round(np.linspace(0, cache_size, world_size + 1)).astype(int)
+        self.offset = int(split[rank])
+        self.local_size = int(split[rank + 1] - split[rank])
+        self.cache_size = cache_size
+        self.code_size = tuple(code_size)
+        self.grid_size = grid_size
+        self._code_dtype = jnp.float16 if cache_16bit else jnp.float32
+        self._opt_dtype = jnp.bfloat16 if cache_16bit else jnp.float32
+        n, cs = self.local_size, self.code_size
+        self.code_ = jnp.zeros((n,) + cs, self._code_dtype)
+        self.m = jnp.zeros((n,) + cs, self._opt_dtype)
+        self.v = jnp.zeros((n,) + cs, self._opt_dtype)
+        self.step = jnp.zeros((n,), jnp.int32)
+        self.density_grid = jnp.zeros((n, grid_size ** 3), jnp.float16)
+        self.density_bitfield = jnp.zeros((n, grid_size ** 3 // 8), jnp.uint8)
+        self.seen = np.zeros((n,), bool)  # host-side bookkeeping only
+
+    def _local(self, scene_ids):
+        local = np.asarray(scene_ids) - self.offset
+        assert (0 <= local).all() and (local < self.local_size).all()
+        return local
+
+    def load(self, scene_ids, init_code_fn=None):
+        li = self._local(scene_ids)
+        unseen = ~self.seen[li]
+        if unseen.any() and init_code_fn is not None:
+            init = jnp.asarray(
+                init_code_fn(int(unseen.sum()))).astype(self._code_dtype)
+            self.code_ = self.code_.at[jnp.asarray(li[unseen])].set(init)
+            self.seen[li] = True
+        idx = jnp.asarray(li)
+        return dict(
+            code_=self.code_[idx].astype(jnp.float32),
+            opt=SceneOptState(
+                m=self.m[idx].astype(jnp.float32),
+                v=self.v[idx].astype(jnp.float32),
+                step=self.step[idx]),
+            density_grid=self.density_grid[idx],
+            density_bitfield=self.density_bitfield[idx])
+
+    def save(self, scene_ids, code_, opt: SceneOptState, density_grid,
+             density_bitfield):
+        idx = jnp.asarray(self._local(scene_ids))
+        fin = float(jnp.finfo(self._code_dtype).max)
+        self.code_ = self.code_.at[idx].set(
+            jnp.clip(code_, -fin, fin).astype(self._code_dtype))
+        self.m = self.m.at[idx].set(opt.m.astype(self._opt_dtype))
+        self.v = self.v.at[idx].set(opt.v.astype(self._opt_dtype))
+        self.step = self.step.at[idx].set(opt.step)
+        self.density_grid = self.density_grid.at[idx].set(density_grid)
+        self.density_bitfield = self.density_bitfield.at[idx].set(
+            density_bitfield)
+        self.seen[self._local(scene_ids)] = True
+
+    def seen_mask(self):
+        return self.seen
+
+    def state_dict(self):
+        out = {k: np.asarray(getattr(self, k)) for k in
+               ('code_', 'm', 'v', 'step', 'density_grid',
+                'density_bitfield')}
+        out['seen'] = self.seen
+        return out
+
+    def load_state_dict(self, d):
+        for k in ('code_', 'm', 'v', 'step', 'density_grid',
+                  'density_bitfield'):
+            if k in d:
+                setattr(self, k, jnp.asarray(d[k]).astype(
+                    getattr(self, k).dtype))
+        if 'seen' in d:
+            self.seen[...] = d['seen']
+
+    def reset(self):
+        self.seen[:] = False
+        for k in ('code_', 'm', 'v', 'step', 'density_grid',
+                  'density_bitfield'):
+            setattr(self, k, jnp.zeros_like(getattr(self, k)))
+
+    def set_codes(self, code_, zero_opt=True):
+        self.code_ = jnp.broadcast_to(
+            jnp.asarray(code_).astype(self._code_dtype),
+            self.code_.shape)
+        if zero_opt:
+            self.m = jnp.zeros_like(self.m)
+            self.v = jnp.zeros_like(self.v)
+            self.step = jnp.zeros_like(self.step)
+
+    def write_scenes(self, local_idx, code_, density_grid, density_bitfield,
+                     zero_opt=True):
+        idx = jnp.asarray(np.asarray(local_idx))
+        self.code_ = self.code_.at[idx].set(
+            jnp.asarray(code_).astype(self._code_dtype))
+        self.density_grid = self.density_grid.at[idx].set(
+            jnp.asarray(density_grid))
+        self.density_bitfield = self.density_bitfield.at[idx].set(
+            jnp.asarray(density_bitfield))
+        if zero_opt:
+            self.m = self.m.at[idx].set(0.0)
+            self.v = self.v.at[idx].set(0.0)
+            self.step = self.step.at[idx].set(0)
+        self.seen[np.asarray(local_idx)] = True
+
 
 class MultiSceneNeRF:
     """Stage-1 trainer (auto-decoding only).  Holds static config + modules;
@@ -143,6 +290,7 @@ class MultiSceneNeRF:
         self.cache_size = cfg.get('cache_size', 0)
         self.cache_16bit = cfg.get('cache_16bit', False)
         self.num_file_writers = cfg.get('num_file_writers', 0)
+        self.cache_device = cfg.get('cache_device', 'auto')
         self.train_cfg = dict(train_cfg or {})
         self.test_cfg = dict(test_cfg or {})
         # memory-bounding chunk sizes for the big decode batches (the
@@ -216,8 +364,21 @@ class MultiSceneNeRF:
     # state
     # -------------------------------------------------------------- #
     def make_cache(self, rank=0, world_size=1):
-        return SceneCache(self.cache_size, self.code_size, self.grid_size,
-                          self.cache_16bit, rank, world_size)
+        """cache_device: 'host' | 'device' | 'auto' (default: device when
+        the local shard fits a conservative HBM budget)."""
+        mode = getattr(self, 'cache_device', 'auto')
+        if mode == 'auto':
+            split = np.round(np.linspace(0, self.cache_size,
+                                         world_size + 1)).astype(int)
+            local = int(split[rank + 1] - split[rank])
+            code_bytes = 2 if self.cache_16bit else 4
+            per_scene = (int(np.prod(self.code_size)) * 3 * code_bytes
+                         + self.grid_size ** 3 * 2
+                         + self.grid_size ** 3 // 8)
+            mode = 'device' if local * per_scene < 6e9 else 'host'
+        cls = DeviceSceneCache if mode == 'device' else SceneCache
+        return cls(self.cache_size, self.code_size, self.grid_size,
+                   self.cache_16bit, rank, world_size)
 
     def init_state(self, key, optimizer_cfg=None, lr_schedule=None):
         """Initialize decoder params/EMA/optimizer and running buffers."""

@@ -109,19 +109,21 @@ class SaveCacheHook(Hook):
             return
         os.makedirs(self.out_dir, exist_ok=True)
         names = runner.scene_names
+        sd = cache.state_dict()  # host copies (works for the HBM cache too)
         for li in range(cache.local_size):
-            if not cache.seen[li]:
+            if not sd['seen'][li]:
                 continue
             gid = cache.offset + li
             name = names[gid] if names is not None else f'{gid:06d}'
             np.savez(
                 os.path.join(self.out_dir, name + '.npz'),
                 scene_id=gid, scene_name=name,
-                code_=cache.code_[li],
-                density_grid=cache.density_grid[li],
-                density_bitfield=cache.density_bitfield[li],
-                optimizer_m=cache.m[li], optimizer_v=cache.v[li],
-                optimizer_step=cache.step[li])
+                code_=sd['code_'][li],
+                density_grid=sd['density_grid'][li],
+                density_bitfield=sd['density_bitfield'][li],
+                optimizer_m=np.asarray(sd['m'][li], np.float32),
+                optimizer_v=np.asarray(sd['v'][li], np.float32),
+                optimizer_step=sd['step'][li])
         if self.viz_dir is not None:
             # triplane visualizations for every viz_step-th cached scene
             # (cache.py viz_step semantics)
@@ -129,10 +131,10 @@ class SaveCacheHook(Hook):
             model = runner.model
             sel = [li for li in range(0, cache.local_size,
                                       max(self.viz_step, 1))
-                   if cache.seen[li]]
+                   if sd['seen'][li]]
             if sel:
                 codes = jnp.asarray(
-                    cache.code_[sel].astype(np.float32))
+                    sd['code_'][sel].astype(np.float32))
                 codes = model.code_activation(
                     codes, runner.state.get('code_act'))
                 sel_names = [
@@ -149,14 +151,7 @@ class ResetCacheHook(Hook):
 
     def after_train_iter(self, runner):
         if self.every_n_iters(runner, self.interval):
-            cache = runner.cache
-            cache.seen[:] = False
-            cache.code_[:] = 0
-            cache.m[:] = 0
-            cache.v[:] = 0
-            cache.step[:] = 0
-            cache.density_grid[:] = 0
-            cache.density_bitfield[:] = 0
+            runner.cache.reset()
 
 
 class UpdateCacheHook(Hook):
@@ -197,13 +192,7 @@ class UpdateCacheHook(Hook):
                 code_ = model.code_activation.inverse(
                     code, runner.state.get('code_act'))
                 li = np.asarray(gids) - cache.offset
-                cache.code_[li] = np.asarray(code_).astype(cache.code_.dtype)
-                cache.density_grid[li] = np.asarray(grid)
-                cache.density_bitfield[li] = np.asarray(bitfield)
-                cache.m[li] = 0
-                cache.v[li] = 0
-                cache.step[li] = 0
-                cache.seen[li] = True
+                cache.write_scenes(li, code_, grid, bitfield, zero_opt=True)
         finally:
             model.train_mode()
         runner.invalidate_step()
@@ -236,8 +225,9 @@ class MeanCacheHook(Hook):
         model = runner.model
         init_code = runner.state.get('init_code')
         if init_code is None:
-            seen = cache.seen
-            mean_code = cache.code_[seen].astype(np.float32).mean(0) \
+            sd = cache.state_dict()
+            seen = sd['seen']
+            mean_code = sd['code_'][seen].astype(np.float32).mean(0) \
                 if seen.any() else np.zeros(cache.code_size, np.float32)
             code_ = np.asarray(model.code_activation.inverse(
                 jnp.asarray(mean_code)[None], runner.state.get('code_act')))[0]
@@ -245,10 +235,7 @@ class MeanCacheHook(Hook):
             code_ = np.asarray(model.code_activation.inverse(
                 jnp.asarray(init_code)[None] * model.mean_scale,
                 runner.state.get('code_act')))[0]
-        cache.code_[:] = code_.astype(cache.code_.dtype)
-        cache.m[:] = 0
-        cache.v[:] = 0
-        cache.step[:] = 0
+        cache.set_codes(code_[None], zero_opt=True)
 
 
 class ModelUpdaterHook(Hook):

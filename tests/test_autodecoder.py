@@ -178,3 +178,47 @@ def test_val_guide_and_optim(diffnerf_setup):
     img, _ = model.render(state, code, bitfield, 16, 16,
                           data['cond_intrinsics'], data['cond_poses'])
     assert np.isfinite(np.array(img)).all()
+
+
+def test_device_scene_cache_matches_host_cache():
+    from ssdnerf_tpu.models.autodecoders import SceneCache, DeviceSceneCache
+    from ssdnerf_tpu.models.autodecoders.base import SceneOptState
+    rng = np.random.RandomState(0)
+    kwargs = dict(cache_size=6, code_size=(3, 2, 4, 4), grid_size=8)
+    host = SceneCache(**kwargs)
+    dev = DeviceSceneCache(**kwargs)
+    ids = np.array([1, 3])
+    init_fn = lambda n: rng.RandomState if False else np.full(
+        (n, 3, 2, 4, 4), 0.25, np.float32)
+    b_h = host.load(ids, init_code_fn=init_fn)
+    b_d = dev.load(ids, init_code_fn=init_fn)
+    np.testing.assert_allclose(np.asarray(b_h['code_']),
+                               np.asarray(b_d['code_']))
+    # save a batch and reload
+    code_ = jnp.asarray(rng.normal(size=(2, 3, 2, 4, 4)).astype(np.float32))
+    opt = SceneOptState(m=code_ * 0.1, v=code_ ** 2,
+                        step=jnp.array([5, 7], jnp.int32))
+    grid = jnp.asarray(rng.uniform(0, 1, (2, 512)).astype(np.float16))
+    bitf = jnp.asarray(rng.randint(0, 255, (2, 64)).astype(np.uint8))
+    for c in (host, dev):
+        c.save(ids, code_, opt, grid, bitf)
+    a_h = host.load(ids)
+    a_d = dev.load(ids)
+    for k in ('code_', 'density_grid', 'density_bitfield'):
+        np.testing.assert_allclose(np.asarray(a_h[k]), np.asarray(a_d[k]),
+                                   atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(np.asarray(a_h['opt'].m),
+                               np.asarray(a_d['opt'].m), atol=1e-6)
+    assert np.array_equal(np.asarray(a_h['opt'].step),
+                          np.asarray(a_d['opt'].step))
+    # state_dict round trip between the two implementations
+    dev2 = DeviceSceneCache(**kwargs)
+    dev2.load_state_dict(host.state_dict())
+    np.testing.assert_allclose(np.asarray(dev2.code_, np.float32),
+                               host.code_.astype(np.float32))
+    # reset / set_codes / write_scenes interface parity
+    for c in (host, dev):
+        c.set_codes(np.full((1,) + kwargs['code_size'], 0.5, np.float32))
+        c.write_scenes([0], code_[:1], grid[:1], bitf[:1])
+        c.reset()
+        assert not c.seen_mask().any()
