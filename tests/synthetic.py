@@ -117,3 +117,66 @@ TINY_TEST_CFG = dict(
     extra_scene_step=1,
     optimizer=dict(type='Adam', lr=0.005, weight_decay=0.),
     lr_scheduler=dict(type='ExponentialLR', gamma=0.998))
+
+
+def render_sphere_scene(pose, fx, fy, cx, cy, h, w, center, radius, color,
+                        bg=1.0):
+    """Analytic render of a Lambertian-ish sphere on a white background —
+    view-consistent ground truth for 3D reconstruction tests.
+
+    pose: (4, 4) c2w (x right, y down, z forward). Returns (h, w, 3)."""
+    ys, xs = np.mgrid[:h, :w]
+    dirs_cam = np.stack([(xs + 0.5 - cx) / fx, (ys + 0.5 - cy) / fy,
+                         np.ones_like(xs, np.float32)], -1)
+    R, t = pose[:3, :3], pose[:3, 3]
+    d = dirs_cam @ R.T
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(t, d.shape)
+    oc = o - np.asarray(center)
+    b = (d * oc).sum(-1)
+    c = (oc * oc).sum(-1) - radius ** 2
+    disc = b * b - c
+    hit = disc > 0
+    t_hit = -b - np.sqrt(np.maximum(disc, 0))
+    hit &= t_hit > 0
+    p = o + t_hit[..., None] * d
+    n = (p - np.asarray(center)) / radius
+    # simple shading: color modulated by +y-ish light
+    light = np.clip(0.6 + 0.4 * (n @ np.array([0.3, -0.8, 0.5])), 0, 1)
+    img = np.full((h, w, 3), bg, np.float32)
+    img[hit] = np.asarray(color) * light[hit, None]
+    return img
+
+
+def make_sphere_batch(num_scenes=4, num_views=6, h=64, w=64, seed=0,
+                      radius_cam=2.4):
+    """View-consistent multi-sphere scenes + cameras on a ring."""
+    rng = np.random.RandomState(seed)
+    focal = 1.4 * w
+    intr = np.array([focal, focal, w / 2, h / 2], np.float32)
+    all_imgs, all_poses = [], []
+    for s in range(num_scenes):
+        center = rng.uniform(-0.15, 0.15, 3).astype(np.float32)
+        radius = rng.uniform(0.35, 0.55)
+        color = rng.uniform(0.2, 0.9, 3).astype(np.float32)
+        imgs, poses = [], []
+        for v in range(num_views):
+            ang = 2 * np.pi * v / num_views + 0.1 * s
+            elev = 0.35 * np.sin(ang * 2 + s)
+            pos = radius_cam * np.array([
+                np.cos(ang) * np.cos(elev), np.sin(elev),
+                np.sin(ang) * np.cos(elev)])
+            pose = look_at_pose(pos)
+            imgs.append(render_sphere_scene(
+                pose, focal, focal, w / 2, h / 2, h, w, center, radius,
+                color))
+            poses.append(pose)
+        all_imgs.append(np.stack(imgs))
+        all_poses.append(np.stack(poses))
+    return dict(
+        scene_id=np.arange(num_scenes),
+        scene_name=[f'{i:04d}' for i in range(num_scenes)],
+        cond_imgs=np.stack(all_imgs).astype(np.float32),
+        cond_poses=np.stack(all_poses).astype(np.float32),
+        cond_intrinsics=np.broadcast_to(
+            intr, (num_scenes, num_views, 4)).copy())
