@@ -61,7 +61,10 @@ class TVLoss:
             pad = [(0, 0)] * tensor.ndim
             pad[dim] = (0, 1)
             diffs.append(jnp.pad(d, pad))
-        norm = jnp.linalg.norm(jnp.stack(diffs, axis=0), axis=0)
+        # safe norm: jnp.linalg.norm has a NaN gradient at exactly 0 (torch
+        # subgradients it to 0, and init_from_mean starts codes at 0)
+        sq = sum(d * d for d in diffs)
+        norm = jnp.sqrt(jnp.maximum(sq, 1e-24))
         return jnp.mean(norm ** self.power) * self.loss_weight
 
 
