@@ -8,7 +8,7 @@ per-plane (``groups=3``) tiled-triplane variant, sinusoidal time embedding.
 Channel-last layout and bf16-friendly matmuls for the MXU; attention softmax
 in float32.
 """
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -52,13 +52,14 @@ class ResBlock(nn.Module):
     groups: int = 1
     norm_groups: int = 32
     shortcut_kernel_size: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, deterministic=True):
         in_channels = x.shape[-1]
         h = _gn(self.norm_groups, 'norm_1')(x)
         h = jax.nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     feature_group_count=self.groups, name='conv_1')(h)
 
         emb_out = nn.Dense(
@@ -73,15 +74,16 @@ class ResBlock(nn.Module):
         h = jax.nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     feature_group_count=self.groups, name='conv_2')(h)
 
         if in_channels != self.out_channels:
             pad = 1 if self.shortcut_kernel_size == 3 else 0
             x = nn.Conv(self.out_channels,
                         (self.shortcut_kernel_size,) * 2, padding=pad,
+                        dtype=self.dtype,
                         feature_group_count=self.groups, name='shortcut')(x)
-        return x + h
+        return (x + h).astype(self.dtype)
 
 
 class SelfAttention(nn.Module):
@@ -91,6 +93,7 @@ class SelfAttention(nn.Module):
     num_heads: int = 4
     groups: int = 1
     norm_groups: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -100,7 +103,8 @@ class SelfAttention(nn.Module):
         assert C % (g * nh) == 0, (C, g, nh)
         hd = C // (g * nh)  # per-head channel dim
         h = _gn(self.norm_groups, 'norm')(x).reshape(B, T, C)
-        qkv = nn.Conv(3 * C, (1,), feature_group_count=g, name='qkv')(h)
+        qkv = nn.Conv(3 * C, (1,), feature_group_count=g, dtype=self.dtype,
+                      name='qkv')(h)
         # grouped conv output layout: g blocks of [q_i, k_i, v_i] (C/g each)
         qkv = qkv.reshape(B, T, g, 3, nh, hd)
         q, k, v = (qkv[:, :, :, i] for i in range(3))  # (B, T, g, nh, hd)
@@ -114,18 +118,21 @@ class SelfAttention(nn.Module):
         weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(x.dtype)
         a = jnp.einsum('bhts,bhsc->bhtc', weight, v)
         a = a.reshape(B, nh, g, T, hd).transpose(0, 3, 2, 1, 4).reshape(B, T, C)
-        out = nn.Conv(C, (1,), feature_group_count=g, name='proj')(a)
+        out = nn.Conv(C, (1,), feature_group_count=g, dtype=self.dtype,
+                      name='proj')(a)
         return (out + h).reshape(B, H, W, C)
 
 
 class Downsample(nn.Module):
     with_conv: bool = True
     groups: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         if self.with_conv:
             return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=1,
+                           dtype=self.dtype,
                            feature_group_count=self.groups, name='conv')(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
@@ -133,13 +140,14 @@ class Downsample(nn.Module):
 class Upsample(nn.Module):
     with_conv: bool = True
     groups: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method='nearest')
         if self.with_conv:
-            x = nn.Conv(C, (3, 3), padding=1,
+            x = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
                         feature_group_count=self.groups, name='conv')(x)
         return x
 
@@ -165,6 +173,8 @@ class DenoisingUnet(nn.Module):
     downsample_conv: bool = True
     upsample_conv: bool = True
     attention_res: Sequence[int] = (16, 8)
+    # computation dtype ('float32' | 'bfloat16'); params and GroupNorm f32
+    dtype: str = 'float32'
 
     @nn.compact
     def __call__(self, x_t, t, concat_cond=None, deterministic=True):
@@ -182,17 +192,20 @@ class DenoisingUnet(nn.Module):
         if self.concat_cond_channels > 0:
             h = jnp.concatenate([h, concat_cond], axis=-1)
 
+        cdtype = jnp.dtype(self.dtype)
+
         def resblock(out_ch, name):
             return ResBlock(out_ch, self.use_scale_shift_norm, self.dropout,
                             self.groups, self.norm_groups,
-                            self.shortcut_kernel_size, name=name)
+                            self.shortcut_kernel_size, dtype=cdtype,
+                            name=name)
 
         def attn(name):
             return SelfAttention(self.num_heads, self.groups,
-                                 self.norm_groups, name=name)
+                                 self.norm_groups, dtype=cdtype, name=name)
 
         # ---- encoder ----
-        h = nn.Conv(self.base_channels, (3, 3), padding=1,
+        h = nn.Conv(self.base_channels, (3, 3), padding=1, dtype=cdtype,
                     feature_group_count=self.groups, name='in_conv')(h)
         hs = [h]
         scale = 1
@@ -209,7 +222,7 @@ class DenoisingUnet(nn.Module):
                 ch = out_ch
             if level != len(self.channels_cfg) - 1:
                 h = Downsample(self.downsample_conv, self.groups,
-                               name=f'down_{level}')(h)
+                               dtype=cdtype, name=f'down_{level}')(h)
                 hs.append(h)
                 scale *= 2
 
@@ -230,7 +243,7 @@ class DenoisingUnet(nn.Module):
                 if (level != len(self.channels_cfg) - 1
                         and idx == self.resblocks_per_downsample):
                     h = Upsample(self.upsample_conv, self.groups,
-                                 name=f'up_{level}')(h)
+                                 dtype=cdtype, name=f'up_{level}')(h)
                     scale //= 2
                 block_idx += 1
 
@@ -240,4 +253,4 @@ class DenoisingUnet(nn.Module):
         h = jax.nn.silu(h)
         out = nn.Conv(self.in_channels, (3, 3), padding=1,
                       feature_group_count=self.groups, name='out_conv')(h)
-        return out
+        return out.astype(jnp.float32)

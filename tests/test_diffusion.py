@@ -193,3 +193,24 @@ def test_simple_losses():
     tv = TVLoss(dims=(-2, -1), power=2, loss_weight=1.0)
     x = jnp.arange(9.0).reshape(1, 3, 3)
     assert float(tv(x)) > 0
+
+
+def test_unet_bf16_dtype():
+    unet = DenoisingUnet(image_size=(16, 16), in_channels=6, base_channels=32,
+                         channels_cfg=(1, 2), resblocks_per_downsample=1,
+                         num_heads=2, attention_res=(8,), dtype='bfloat16')
+    x = jnp.ones((1, 16, 16, 6))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.array([1]))
+    out = unet.apply(params, x, jnp.array([1]))
+    assert out.dtype == jnp.float32  # output upcast
+    assert np.isfinite(np.array(out)).all()
+    # params stay f32
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.dtype == jnp.float32
+    # close to the f32 UNet with the same params
+    unet32 = DenoisingUnet(image_size=(16, 16), in_channels=6,
+                           base_channels=32, channels_cfg=(1, 2),
+                           resblocks_per_downsample=1, num_heads=2,
+                           attention_res=(8,))
+    out32 = unet32.apply(params, x, jnp.array([1]))
+    np.testing.assert_allclose(np.array(out), np.array(out32), atol=0.1)
