@@ -8,7 +8,7 @@ per-plane (``groups=3``) tiled-triplane variant, sinusoidal time embedding.
 Channel-last layout and bf16-friendly matmuls for the MXU; attention softmax
 in float32.
 """
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -12,7 +12,7 @@ TPU-native equivalents of ``BaseNeRF``
 - Ray batches are pre-gathered index arrays (static shapes) instead of
   host-side ``randperm`` per step.
 """
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

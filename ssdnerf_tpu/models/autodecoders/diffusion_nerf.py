@@ -8,8 +8,6 @@ function.  The reference's ``.grad.copy_(prior_grad)`` surgery
 ``val_guide`` density-grid side state is threaded through the DDIM scan
 carry; fp16 autocast sampling maps to bf16 params/activations on TPU.
 """
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

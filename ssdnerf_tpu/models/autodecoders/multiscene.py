@@ -12,9 +12,6 @@ TPU-native re-design of ``MultiSceneNeRF``
 - ``train_step`` (multiscene_nerf.py:185-252) is one jitted function:
   inverse_code scan + joint decoder/code update.
 """
-from functools import partial
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,8 @@ match the reference's ``code_diff_pr`` layout; the transpose to the UNet's
 NHWC happens at the boundary here.
 """
 import math
-from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Any
 
 import numpy as np
 import jax

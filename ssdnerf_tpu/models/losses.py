@@ -7,7 +7,7 @@ TVLoss (tv_loss.py) and L1LossMod (l1_loss.py).  Running statistics
 (``norm_factor``) are explicit state returned from the call instead of
 buffers.
 """
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

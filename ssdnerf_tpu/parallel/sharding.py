@@ -10,8 +10,6 @@ automatically.  The reference's rank-sharded scene cache maps to the
 host-local SceneCache shard (one per process); within a host, the device
 mesh splits each batch further.
 """
-from functools import partial
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
