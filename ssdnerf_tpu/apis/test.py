@@ -62,6 +62,8 @@ def evaluate_3d(model, state, dataset, batch_size=8, metrics=None,
     weights = {}
     total = 0
     key = jax.random.PRNGKey(seed)
+    # jit the val path once; reused across equally-shaped batches
+    val_jit = jax.jit(lambda s, d, k: model.val_step(s, d, k))
     for batch, pad in _val_batches(dataset, batch_size, max_num_scenes):
         key, sub = jax.random.split(key)
         data = {}
@@ -86,7 +88,9 @@ def evaluate_3d(model, state, dataset, batch_size=8, metrics=None,
             grid = data['density_grid']
             bitfield = data['density_bitfield']
         else:
-            code, grid, bitfield = model.val_step(state, data, sub)
+            jit_data = {k: v for k, v in data.items()
+                        if isinstance(v, jnp.ndarray)}
+            code, grid, bitfield = val_jit(state, jit_data, sub)
 
         num_valid = code.shape[0] - pad
         save_dir = model.test_cfg.get('save_dir')

@@ -560,10 +560,23 @@ class MultiSceneNeRF:
         if decoder_params is None:
             decoder_params = state.get('decoder_ema', state['decoder']) \
                 if self.decoder_use_ema else state['decoder']
-        return render_views(
-            self.decoder, decoder_params, code, density_bitfield,
-            self.grid_size, poses, intrinsics, h, w,
-            dt_gamma_scale=cfg.get('dt_gamma_scale', 0.0),
-            bg_color=self.bg_color,
-            max_render_rays=cfg.get('max_render_rays', -1),
-            step_chunk=self.step_chunk)
+        # cache one jitted render fn per static signature (avoids eager
+        # per-op dispatch for full-image eval renders)
+        sig = ('render', h, w, cfg.get('dt_gamma_scale', 0.0),
+               cfg.get('max_render_rays', -1))
+        cache = self.__dict__.setdefault('_jit_cache', {})
+        if sig not in cache:
+            dt_gamma_scale = cfg.get('dt_gamma_scale', 0.0)
+            max_render_rays = cfg.get('max_render_rays', -1)
+
+            def fn(decoder_params, code, density_bitfield, intrinsics, poses):
+                return render_views(
+                    self.decoder, decoder_params, code, density_bitfield,
+                    self.grid_size, poses, intrinsics, h, w,
+                    dt_gamma_scale=dt_gamma_scale, bg_color=self.bg_color,
+                    max_render_rays=max_render_rays,
+                    step_chunk=self.step_chunk)
+
+            cache[sig] = jax.jit(fn)
+        return cache[sig](decoder_params, code, density_bitfield,
+                          intrinsics, poses)
