@@ -38,7 +38,7 @@ class R:  # minimal runner stub for the EMA hook
 ema = EMAHook(momentum_cfg=dict(ema_kimg=4, ema_rampup=0.05, batch_size=S))
 r = R(); r.state = state
 t0 = time.time()
-N_IT = 1200
+N_IT = 800
 for i in range(N_IT):
     r.state, batch, logs = step(r.state, batch, data,
                                 jax.random.fold_in(jax.random.PRNGKey(1), i))
