@@ -17,12 +17,17 @@ import flax.linen as nn
 
 
 def timestep_embedding(t, dim, max_period=10000.0):
-    """DDPM sinusoidal embedding: (B,) -> (B, dim)."""
+    """DDPM sinusoidal embedding: (B,) -> (B, dim).
+
+    Matches mmgen ``TimeEmbedding.sinusodial_embedding`` (the reference's
+    base class): frequency exponent ``arange(half)/half`` and ``[cos, sin]``
+    concatenation order — required for reference-checkpoint import parity.
+    """
     half = dim // 2
     freqs = jnp.exp(-np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
-                    / (half - 1))
+                    / half)
     args = t.astype(jnp.float32)[:, None] * freqs[None]
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
 class TimeEmbedding(nn.Module):
@@ -103,6 +108,7 @@ class SelfAttention(nn.Module):
         assert C % (g * nh) == 0, (C, g, nh)
         hd = C // (g * nh)  # per-head channel dim
         h = _gn(self.norm_groups, 'norm')(x).reshape(B, T, C)
+        x_flat = x.reshape(B, T, C)
         qkv = nn.Conv(3 * C, (1,), feature_group_count=g, dtype=self.dtype,
                       name='qkv')(h)
         # grouped conv output layout: g blocks of [q_i, k_i, v_i] (C/g each)
@@ -120,7 +126,9 @@ class SelfAttention(nn.Module):
         a = a.reshape(B, nh, g, T, hd).transpose(0, 3, 2, 1, 4).reshape(B, T, C)
         out = nn.Conv(C, (1,), feature_group_count=g, dtype=self.dtype,
                       name='proj')(a)
-        return (out + h).reshape(B, H, W, C)
+        # residual adds the PRE-norm input (modules.py:39-48: ``h + x``
+        # where x was reshaped before self.norm was applied)
+        return (out + x_flat).reshape(B, H, W, C)
 
 
 class Downsample(nn.Module):

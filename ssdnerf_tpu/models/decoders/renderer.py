@@ -15,9 +15,96 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ...ops import near_far_from_aabb, march_rays, composite_rays
+from ...ops import near_far_from_aabb, march_rays, composite_rays, sh_encode
+from ...ops.activations import trunc_exp
 from ...ops.marching import SQRT3, compact_samples, t_at_step
 from ...ops.morton import morton3d_invert, packbits
+from ...ops import pallas as pallas_ops
+
+
+def _resolve_backend(decoder, num_rays, compact_steps, grid_size):
+    """Pick the fused-Pallas path when shapes and platform allow it."""
+    mode = getattr(decoder, 'backend', 'auto')
+    if mode == 'xla':
+        return 'xla'
+    interpret = (mode == 'pallas-interpret')
+    if mode == 'auto' and jax.default_backend() not in ('tpu', 'axon'):
+        return 'xla'
+    K = compact_steps
+    if (K is None or not pallas_ops.decode_supported(decoder)
+            or not pallas_ops.march_supported(grid_size)
+            or K > 1024 or 1024 % K != 0
+            or num_rays % max(1024 // K, 1) != 0):
+        if mode in ('pallas', 'pallas-interpret'):
+            raise ValueError('pallas renderer backend requested but the '
+                             'decoder/ray shapes are unsupported')
+        return 'xla'
+    return 'pallas-interpret' if interpret else 'pallas'
+
+
+def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
+                  deterministic=True, dropout_key=None, density_only=False):
+    """Fused triplane decode: prep params/planes, call the Pallas kernel.
+
+    xyz: (S, R, K, 3) sample coords; rays_d: (S, R, 3).
+    Returns sigmas (S, R, K) and rgbs (S, R, K, 3) (None if density_only).
+    """
+    p = params['params']
+    S = code.shape[0]
+    C = code.shape[2]
+    res = code.shape[-1]
+    R = xyz.shape[1]
+    if decoder.scene_base_size is not None:
+        code = code + p['scene_base']
+    if decoder.code_dropout > 0 and not deterministic:
+        keep = jax.random.bernoulli(
+            dropout_key, 1.0 - decoder.code_dropout, code.shape[:3] + (1, 1))
+        code = code * keep / (1.0 - decoder.code_dropout)
+    # (S, 3, C, H, W) -> channel-major rows (S, 3, C*res, res)
+    planes = code.reshape(S, 3, C * res, res).astype(jnp.bfloat16)
+
+    x = xyz[..., 0]
+    y = xyz[..., 1]
+    z = -xyz[..., 2] if decoder.flip_z else xyz[..., 2]
+
+    wb = p['base_net']['dense_0']['kernel']            # (3C, hidden)
+    hidden = wb.shape[1]
+    # XLA-path feature column order is c*3 + plane (triplane_decoder.py:141)
+    wf = jnp.stack([
+        jnp.broadcast_to(
+            wb[jnp.asarray([c * 3 + pp for c in range(C)])].T[:, :, None],
+            (hidden, C, res)).reshape(hidden, C * res)
+        for pp in range(3)
+    ]).astype(jnp.bfloat16)                            # (3, hidden, C*res)
+    bbt = p['base_net']['dense_0']['bias'][:, None]    # (hidden, 1)
+    wd = p['density_net']['dense_0']['kernel']         # (hidden, 1)
+    bd = p['density_net']['dense_0']['bias']
+    w1t = jnp.pad(wd.T, ((0, 127), (0, 0))).astype(jnp.bfloat16)
+    b1 = jnp.pad(bd[None], ((0, 0), (0, 128 - bd.shape[0])))
+    if density_only:
+        dir_out = jnp.zeros((S, R, hidden), jnp.float32)
+        w2t = jnp.zeros((128, hidden), jnp.bfloat16)
+        b2 = jnp.zeros((1, 128), jnp.float32)
+    else:
+        wc = p['color_net']['dense_0']['kernel']       # (hidden, 3)
+        bc = p['color_net']['dense_0']['bias']
+        w2t = jnp.pad(wc.T, ((0, 125), (0, 0))).astype(jnp.bfloat16)
+        b2 = jnp.pad(bc[None], ((0, 0), (0, 128 - bc.shape[0])))
+        sh = sh_encode(rays_d, degree=4).astype(jnp.bfloat16)
+        wdir = p['dir_net']['dense_0']['kernel'].astype(jnp.bfloat16)
+        dir_out = (jnp.einsum('srf,fh->srh', sh, wdir,
+                              preferred_element_type=jnp.float32)
+                   + p['dir_net']['dense_0']['bias'])
+    sig_raw, r_raw, g_raw, b_raw = pallas_ops.triplane_decode(
+        planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K, interpret)
+    sigmas = trunc_exp(sig_raw)
+    if density_only:
+        return sigmas, None
+    rgbs = jax.nn.sigmoid(jnp.stack([r_raw, g_raw, b_raw], axis=-1))
+    if decoder.sigmoid_saturation > 0:
+        rgbs = rgbs * (1 + decoder.sigmoid_saturation * 2) \
+            - decoder.sigmoid_saturation
+    return sigmas, rgbs
 
 
 def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
@@ -65,6 +152,15 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
         fars = jnp.minimum(fars, fb)
         num_slots = march_slots
 
+    compact_steps = getattr(decoder, 'compact_steps', None)
+    backend = _resolve_backend(decoder, N, compact_steps, grid_size)
+    if backend != 'xla':
+        return _volume_render_fused(
+            decoder, params, code, rays_o, rays_d, density_bitfield,
+            grid_size, nears, fars, dt_gamma, noise, num_slots, max_steps,
+            compact_steps, T_thresh, deterministic, dropout_key,
+            interpret=(backend == 'pallas-interpret'))
+
     march = jax.vmap(
         lambda o, d, nr, fr, bf, dg, nz: march_rays(
             o, d, nr, fr, bf, grid_size, decoder.bound, dg, max_steps, nz,
@@ -77,7 +173,6 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
     # compacted step indices feed the closed-form t evaluation, so no
     # gathers are needed anywhere.
     slots = num_slots
-    compact_steps = getattr(decoder, 'compact_steps', None)
     if compact_steps is not None and compact_steps < slots:
         comp_step, comp_valid = compact_samples(res.valid, compact_steps)
         dt_min = 2.0 * SQRT3 / max_steps
@@ -119,6 +214,42 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
 
     weights_sum, depth, image = composite_rays(
         sigmas, rgbs, res.dts, res.ts, res.valid, T_thresh)
+    return dict(weights_sum=weights_sum, depth=depth, image=image)
+
+
+def _volume_render_fused(decoder, params, code, rays_o, rays_d,
+                         density_bitfield, grid_size, nears, fars, dt_gamma,
+                         noise, num_slots, max_steps, K, T_thresh,
+                         deterministic, dropout_key, interpret=False):
+    """Pallas-fused render: march kernel -> compact -> decode kernel ->
+    composite.  Exact same semantics as the XLA path (same t grid, same
+    occupancy bits, same compaction); only the execution strategy differs."""
+    num_scenes, N = rays_o.shape[:2]
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 / grid_size
+    t0 = nears + jnp.clip(nears * dt_gamma[:, None], dt_min, dt_max) * noise
+
+    g8 = pallas_ops.occupancy_table(density_bitfield, grid_size)
+    pack = jnp.concatenate(
+        [rays_o, rays_d, t0[..., None], fars[..., None]], axis=-1)
+    valid = pallas_ops.march_valid_mask(
+        pack, g8, dt_gamma, T=num_slots, grid_size=grid_size,
+        bound=decoder.bound, max_steps=max_steps, interpret=interpret)
+    valid = jax.lax.stop_gradient(valid) > 0.5
+
+    comp_step, comp_valid = compact_samples(valid, K)
+    dtg = dt_gamma[:, None, None]
+    comp_ts = t_at_step(t0, comp_step, dtg, dt_min, dt_max)
+    comp_dts = jnp.clip(comp_ts * dtg, dt_min, dt_max)
+
+    xyz = jnp.clip(
+        rays_o[:, :, None, :] + comp_ts[..., None] * rays_d[:, :, None, :],
+        -decoder.bound, decoder.bound)                  # (S, N, K, 3)
+    sigmas, rgbs = _decode_fused(
+        decoder, params, code, xyz, rays_d, K, interpret,
+        deterministic=deterministic, dropout_key=dropout_key)
+    weights_sum, depth, image = composite_rays(
+        sigmas, rgbs, comp_dts, comp_ts, comp_valid, T_thresh)
     return dict(weights_sum=weights_sum, depth=depth, image=image)
 
 

@@ -77,6 +77,10 @@ class TriPlaneDecoder(nn.Module):
     # march only this many slots, clipped to the per-scene occupied AABB
     # (None = full max_steps; enable e.g. 128 once the grid has pruned)
     march_slots: Optional[int] = None
+    # renderer execution backend: 'auto' fuses the march/decode Pallas
+    # kernels on TPU and falls back to pure XLA elsewhere; 'xla' forces the
+    # fallback; 'pallas-interpret' runs the kernels interpreted (tests)
+    backend: str = 'auto'
     # optional learnable shared additive code (triplane_decoder.py:44-51)
     scene_base_size: Optional[Sequence[int]] = None
     scene_rand_dims: Sequence[int] = (0, 1)

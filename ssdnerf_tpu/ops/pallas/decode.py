@@ -1,0 +1,450 @@
+"""Fused triplane-sample + decoder-MLP Pallas kernel (custom VJP).
+
+Replaces the reference's ``point_decode`` hot path — ``F.grid_sample`` on 3
+feature planes + base/density/color MLPs + SH direction head
+(/root/reference/lib/models/decoders/triplane_decoder.py:119-179) — with a
+single TPU kernel per (scene, sample-block):
+
+- Bilinear sampling is expressed with *hat-function weight rows* (the two
+  bilinear taps are the only nonzeros of ``relu(1 - |w - fx|)``), turning
+  the plane lookup into (768, 128) @ (128, chunk) MXU matmuls whose fat
+  ``R`` intermediate never leaves VMEM.  The pure-XLA fallback
+  (ops/triplane_sample.py) materializes that intermediate in HBM — ~26 GB
+  of traffic per full 128^2 render — which is exactly what this kernel
+  removes.
+- The per-sample hat/Y reduction over the plane's second axis is folded
+  into the base-MLP matmul: with channel-major plane rows (c*res + h) and
+  the base kernel broadcast over h (``WBfold``), one (hidden, 768) @
+  (768, chunk) matmul performs both the Y-weighted reduction and the
+  base-net contraction.
+- Everything per-sample lives with samples in the LANE dimension
+  ((rows, chunk) arrays, transposed matmuls) — full VPU lane utilization;
+  kernel I/O arrays are packed (rows, 1024) so the TPU's (8, 128) HBM
+  tiling never pads and Mosaic never needs a shape cast.
+- The per-ray SH direction branch is evaluated once per ray outside the
+  kernel; inside, a ray-one-hot matmul broadcasts it to samples.
+- Backward is a second Pallas kernel (flash-attention style recompute):
+  plane gradients are the transposed hat contractions — again MXU matmuls
+  — accumulated in VMEM across the sample blocks of each scene.  Sample
+  positions get no gradient (they do not depend on any parameter; the
+  reference's density-grid marching is equally detached).
+
+Supported decoder shape: single-Dense base (3*C -> D), density (D -> 1),
+color (D -> 3) and dir (16 -> D) nets with SiLU — the shape every shipped
+config uses.  Anything else falls back to the XLA path.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+SUB = 1024
+MAX_SUBS = 8
+
+
+def decode_supported(decoder):
+    """True if the decoder hyperparameters match the fused kernel."""
+    if not hasattr(decoder, 'base_layers'):
+        return False
+    return (
+        len(decoder.base_layers) == 2
+        and len(decoder.density_layers) == 2 and decoder.density_layers[1] == 1
+        and len(decoder.color_layers) == 2 and decoder.color_layers[1] == 3
+        and decoder.use_dir_enc and decoder.dir_layers is not None
+        and len(decoder.dir_layers) == 2
+        and decoder.dir_layers[1] == decoder.base_layers[1]
+        and decoder.activation == 'silu'
+        and decoder.base_layers[0] % 3 == 0)
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _dsilu(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _hats_t(coord, res):
+    """(1, n) coords in [-1, 1] -> (res, n) bilinear hat weights."""
+    f32 = jnp.float32
+    row = jax.lax.broadcasted_iota(jnp.int32, (res, coord.shape[1]),
+                                   0).astype(f32)
+    f = jnp.clip((coord + 1.0) * (res * 0.5) - 0.5, 0.0, res - 1.0)
+    return jnp.maximum(1.0 - jnp.abs(row - f), 0.0)
+
+
+def _fwd_body(xk, yk, zk, planes_ref, dirt, wf_ref, bbt_ref,
+              w1t_ref, w2t_ref, *, res, C, hidden):
+    """Shared forward math on one (1, n) sample row."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    n = xk.shape[1]
+    hx = _hats_t(xk, res)
+    hy = _hats_t(yk, res)
+    hz = _hats_t(zk, res)
+    pairs = ((hx, hy), (hx, hz), (hy, hz))
+    base_t = jnp.broadcast_to(bbt_ref[:, 0:1], (hidden, n)).astype(f32)
+    prods = []
+    for p in range(3):
+        X, Y = pairs[p]
+        M = planes_ref[0, p]                                  # (768, res)
+        R1 = jax.lax.dot_general(M, X.astype(bf16), (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)  # (768, n)
+        Ytile = jnp.concatenate([Y] * C, axis=0)              # (768, n)
+        prod = (R1 * Ytile).astype(bf16)
+        prods.append(prod)
+        base_t = base_t + jnp.dot(wf_ref[p], prod,
+                                  preferred_element_type=f32)
+    bx = _silu(base_t)
+    cx = _silu(base_t + dirt)
+    o1 = jnp.dot(w1t_ref[:], bx.astype(bf16),
+                 preferred_element_type=f32)                  # (128, n)
+    o2 = jnp.dot(w2t_ref[:], cx.astype(bf16),
+                 preferred_element_type=f32)
+    return base_t, bx, cx, o1, o2, prods, pairs
+
+
+def _ray_onehot_t(rpc, n, K, dtype):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rpc, n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rpc, n), 0)
+    return (lane // K == row).astype(dtype)
+
+
+def _fwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
+                b1_ref, b2_ref, w1t_ref, w2t_ref,
+                sig_ref, r_ref, g_ref, b_ref, *, K, subs, res, C, hidden):
+    rpc = SUB // K
+    oner = _ray_onehot_t(rpc, SUB, K, jnp.bfloat16)
+
+    def body(i, _):
+        xk = x_ref[pl.ds(i, 1), :]
+        yk = y_ref[pl.ds(i, 1), :]
+        zk = z_ref[pl.ds(i, 1), :]
+        dob = dirout_ref[pl.ds(i * rpc, rpc), :].astype(jnp.bfloat16)
+        dirt = jax.lax.dot_general(dob, oner, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        _, _, _, o1, o2, _, _ = _fwd_body(
+            xk, yk, zk, planes_ref, dirt, wf_ref, bbt_ref, w1t_ref, w2t_ref,
+            res=res, C=C, hidden=hidden)
+        sig_ref[pl.ds(i, 1), :] = o1[0:1, :] + b1_ref[0, 0]
+        r_ref[pl.ds(i, 1), :] = o2[0:1, :] + b2_ref[0, 0]
+        g_ref[pl.ds(i, 1), :] = o2[1:2, :] + b2_ref[0, 1]
+        b_ref[pl.ds(i, 1), :] = o2[2:3, :] + b2_ref[0, 2]
+        return 0
+
+    jax.lax.fori_loop(0, subs, body, 0)
+
+
+def _bwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
+                b1_ref, b2_ref, w1t_ref, w2t_ref,
+                gs_ref, gr_ref, gg_ref, gb_ref,
+                dplanes_ref, ddirout_ref, dwf_ref, dbbt_ref,
+                dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+                *, K, subs, res, C, hidden):
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    s = pl.program_id(0)
+    c_id = pl.program_id(1)
+    is_first = (s == 0) & (c_id == 0)
+    rpc = SUB // K
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, SUB), 0)
+
+    oner = _ray_onehot_t(rpc, SUB, K, bf16)
+    acc0 = (tuple(jnp.zeros((C * res, res), f32) for _ in range(3)),
+            tuple(jnp.zeros((hidden, C * res), f32) for _ in range(3)),
+            jnp.zeros((128, hidden), f32), jnp.zeros((128, hidden), f32),
+            jnp.zeros((1, 128), f32), jnp.zeros((1, 128), f32),
+            jnp.zeros((hidden, 1), f32))
+
+    def body(i, acc):
+        (acc_dplanes, acc_dwf, acc_dw1t, acc_dw2t, acc_db1, acc_db2,
+         acc_dbbt) = acc
+        acc_dplanes = list(acc_dplanes)
+        acc_dwf = list(acc_dwf)
+        xk = x_ref[pl.ds(i, 1), :]
+        yk = y_ref[pl.ds(i, 1), :]
+        zk = z_ref[pl.ds(i, 1), :]
+        dob = dirout_ref[pl.ds(i * rpc, rpc), :].astype(bf16)
+        dirt = jax.lax.dot_general(dob, oner, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        base_t, bx, cx, _, _, prods, pairs = _fwd_body(
+            xk, yk, zk, planes_ref, dirt, wf_ref, bbt_ref, w1t_ref, w2t_ref,
+            res=res, C=C, hidden=hidden)
+
+        gsr = gs_ref[pl.ds(i, 1), :]
+        grr = gr_ref[pl.ds(i, 1), :]
+        ggr = gg_ref[pl.ds(i, 1), :]
+        gbr = gb_ref[pl.ds(i, 1), :]
+        g1 = jnp.where(lane128 == 0, gsr, 0.0)                # (128, SUB)
+        g2 = (jnp.where(lane128 == 0, grr, 0.0)
+              + jnp.where(lane128 == 1, ggr, 0.0)
+              + jnp.where(lane128 == 2, gbr, 0.0))
+        g1b = g1.astype(bf16)
+        g2b = g2.astype(bf16)
+
+        d_bx = jax.lax.dot_general(w1t_ref[:], g1b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        d_cx = jax.lax.dot_general(w2t_ref[:], g2b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        d_base_c = d_cx * _dsilu(base_t + dirt)
+        d_base = d_bx * _dsilu(base_t) + d_base_c
+        d_base_b = d_base.astype(bf16)
+
+        ddir = jax.lax.dot_general(
+            d_base_c.astype(bf16), oner, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                       # (hidden, rpc)
+        ddirout_ref[pl.ds(i * rpc, rpc), :] = ddir.T
+
+        acc_dw1t += jax.lax.dot_general(g1b, bx.astype(bf16),
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=f32)
+        acc_dw2t += jax.lax.dot_general(g2b, cx.astype(bf16),
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=f32)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        acc_db1 += jnp.where(lane_r == 0, jnp.sum(gsr), 0.0)
+        acc_db2 += (jnp.where(lane_r == 0, jnp.sum(grr), 0.0)
+                    + jnp.where(lane_r == 1, jnp.sum(ggr), 0.0)
+                    + jnp.where(lane_r == 2, jnp.sum(gbr), 0.0))
+        acc_dbbt += jnp.sum(d_base, axis=1, keepdims=True)
+
+        for p in range(3):
+            X, Y = pairs[p]
+            Ytile = jnp.concatenate([Y] * C, axis=0)
+            d_prod = jax.lax.dot_general(
+                wf_ref[p], d_base_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)                   # (768, SUB)
+            acc_dwf[p] = acc_dwf[p] + jax.lax.dot_general(
+                d_base_b, prods[p], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                   # (hidden, 768)
+            d_R1 = (d_prod * Ytile).astype(bf16)
+            acc_dplanes[p] = acc_dplanes[p] + jax.lax.dot_general(
+                d_R1, X.astype(bf16), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                   # (768, res)
+        return (tuple(acc_dplanes), tuple(acc_dwf), acc_dw1t, acc_dw2t,
+                acc_db1, acc_db2, acc_dbbt)
+
+    (acc_dplanes, acc_dwf, acc_dw1t, acc_dw2t, acc_db1, acc_db2,
+     acc_dbbt) = jax.lax.fori_loop(0, subs, body, acc0)
+
+    @pl.when(is_first)
+    def _():
+        dw1t_ref[:] = acc_dw1t
+        dw2t_ref[:] = acc_dw2t
+        db1_ref[:] = acc_db1
+        db2_ref[:] = acc_db2
+        dbbt_ref[:] = acc_dbbt
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        dw1t_ref[:] += acc_dw1t
+        dw2t_ref[:] += acc_dw2t
+        db1_ref[:] += acc_db1
+        db2_ref[:] += acc_db2
+        dbbt_ref[:] += acc_dbbt
+
+    for p in range(3):
+        @pl.when(is_first)
+        def _(p=p):
+            dwf_ref[p] = acc_dwf[p]
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(p=p):
+            dwf_ref[p] += acc_dwf[p]
+
+        @pl.when(c_id == 0)
+        def _(p=p):
+            dplanes_ref[0, p] = acc_dplanes[p]
+
+        @pl.when(c_id != 0)
+        def _(p=p):
+            dplanes_ref[0, p] += acc_dplanes[p]
+
+
+def _shapes(planes, x, K):
+    S = planes.shape[0]
+    res = planes.shape[-1]
+    C = planes.shape[2] // res
+    R = x.shape[1]
+    N = R * K
+    assert SUB % K == 0 and N % SUB == 0, (N, K)
+    subs = MAX_SUBS
+    while (N // SUB) % subs != 0:
+        subs //= 2
+    return S, C, res, R, N, subs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def triplane_decode(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t,
+                    K, interpret=False):
+    """Fused triplane decode.
+
+    Args:
+        planes: (S, 3, C*res, res) bf16 channel-major plane rows:
+            ``planes[s, p, c*res + h, w] = code[s, p, c, h, w]`` (i.e.
+            ``code.reshape(S, 3, C*res, res)``).
+        x, y, z: (S, R, K) f32 per-sample coords in [-1, 1], ray-major.
+        dir_out: (S, R, hidden) f32 per-ray direction-branch outputs
+            (``sh_encode(dirs) @ W_dir + b_dir``).
+        wf: (3, hidden, C*res) bf16 folded base kernel:
+            ``wf[p, o, c*res + h] = wb[c*3 + p, o]`` (base kernel rows
+            broadcast over h).
+        bbt: (hidden, 1) base bias (transposed).  b1, b2: (1, 128) padded
+            density/color biases (cols 0 / 0:3 used).
+        w1t: (128, hidden) bf16, row 0 = density kernel (transposed).
+        w2t: (128, hidden) bf16, rows 0:3 = color kernel.
+        K: static samples per ray; K | 1024 and R*K % 1024 == 0.
+
+    Returns:
+        (sigma_raw, r_raw, g_raw, b_raw) each (S, R, K) f32
+        (pre-trunc_exp / pre-sigmoid).
+    """
+    out, _ = _fwd(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K,
+                  interpret)
+    return out
+
+
+def _specs(S, G, subs, K, res, C, hidden):
+    rpc = SUB // K
+    packed = pl.BlockSpec((subs, SUB), lambda s, c: (s * G + c, 0))
+    return packed, [
+        packed, packed, packed,
+        pl.BlockSpec((1, 3, C * res, res), lambda s, c: (s, 0, 0, 0)),
+        pl.BlockSpec((subs * rpc, hidden), lambda s, c: (s * G + c, 0)),
+        pl.BlockSpec((3, hidden, C * res), lambda s, c: (0, 0, 0)),
+        pl.BlockSpec((hidden, 1), lambda s, c: (0, 0)),
+        pl.BlockSpec((1, 128), lambda s, c: (0, 0)),
+        pl.BlockSpec((1, 128), lambda s, c: (0, 0)),
+        pl.BlockSpec((128, hidden), lambda s, c: (0, 0)),
+        pl.BlockSpec((128, hidden), lambda s, c: (0, 0)),
+    ]
+
+
+def _pack(a, S, N):
+    return a.reshape(S * N // SUB, SUB)
+
+
+def _fwd(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K, interpret):
+    S, C, res, R, N, subs = _shapes(planes, x, K)
+    hidden = wf.shape[1]
+    G = N // (SUB * subs)
+    packed, in_specs = _specs(S, G, subs, K, res, C, hidden)
+    dir_f = dir_out.reshape(S * R, hidden)
+    out_shape = jax.ShapeDtypeStruct((S * N // SUB, SUB), jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, K=K, subs=subs, res=res, C=C,
+                          hidden=hidden),
+        grid=(S, G),
+        in_specs=in_specs,
+        out_specs=[packed] * 4,
+        out_shape=[out_shape] * 4,
+        interpret=interpret,
+    )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N), planes, dir_f,
+      wf, bbt, b1, b2, w1t, w2t)
+    outs = tuple(o.reshape(S, R, K) for o in outs)
+    return outs, (planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t)
+
+
+def _bwd(K, interpret, residuals, g):
+    planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t = residuals
+    gs, gr, gg, gb = g
+    S, C, res, R, N, subs = _shapes(planes, x, K)
+    hidden = wf.shape[1]
+    G = N // (SUB * subs)
+    rpc = SUB // K
+    packed, in_specs = _specs(S, G, subs, K, res, C, hidden)
+    dir_f = dir_out.reshape(S * R, hidden)
+    const = lambda shape: pl.BlockSpec(shape, lambda s, c: tuple(
+        0 for _ in shape))
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, K=K, subs=subs, res=res, C=C,
+                          hidden=hidden),
+        grid=(S, G),
+        in_specs=in_specs + [packed] * 4,
+        out_specs=[
+            pl.BlockSpec((1, 3, C * res, res), lambda s, c: (s, 0, 0, 0)),
+            pl.BlockSpec((subs * rpc, hidden), lambda s, c: (s * G + c, 0)),
+            const((3, hidden, C * res)),
+            const((hidden, 1)),
+            const((128, hidden)),
+            const((1, 128)),
+            const((128, hidden)),
+            const((1, 128)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, 3, C * res, res), jnp.float32),
+            jax.ShapeDtypeStruct((S * R, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((3, hidden, C * res), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, 1), jnp.float32),
+            jax.ShapeDtypeStruct((128, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((128, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N), planes, dir_f,
+      wf, bbt, b1, b2, w1t, w2t,
+      _pack(gs, S, N), _pack(gr, S, N), _pack(gg, S, N), _pack(gb, S, N))
+    dplanes, ddir, dwf, dbbt, dw1t, db1, dw2t, db2 = outs
+    return (dplanes.astype(planes.dtype), None, None, None,
+            ddir.reshape(S, R, hidden), dwf.astype(wf.dtype), dbbt, db1, db2,
+            dw1t.astype(w1t.dtype), dw2t.astype(w2t.dtype))
+
+
+def _fwd_rule(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K,
+              interpret):
+    return _fwd(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K,
+                interpret)
+
+
+triplane_decode.defvjp(_fwd_rule, _bwd)
+
+
+# --------------------------------------------------------------------- #
+# pure-jnp reference (oracle for tests)
+# --------------------------------------------------------------------- #
+def decode_reference(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K):
+    """Same math as the kernel, in plain jnp (f32 hats, bf16 matmul
+    operands, f32 accumulation) — the test oracle."""
+    S, _, F768, res = planes.shape
+    C = F768 // res
+    R = x.shape[1]
+
+    def hat(c):
+        f = jnp.clip((c + 1.0) * (res * 0.5) - 0.5, 0.0, res - 1.0)
+        idx = jnp.arange(res, dtype=jnp.float32)
+        return jnp.maximum(1.0 - jnp.abs(idx - f[..., None]), 0.0)
+
+    xs = x.reshape(S, R * K)
+    ys = y.reshape(S, R * K)
+    zs = z.reshape(S, R * K)
+    hx, hy, hz = hat(xs), hat(ys), hat(zs)      # (S, N, res)
+    pairs = ((hx, hy), (hx, hz), (hy, hz))
+    base = jnp.zeros((S, R * K, wf.shape[1]), jnp.float32) + bbt[:, 0]
+    for p in range(3):
+        X, Y = pairs[p]
+        R1 = jnp.einsum('sfw,snw->snf', planes[:, p].astype(jnp.bfloat16),
+                        X.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)  # (S,N,768)
+        Ytile = jnp.tile(Y, (1, 1, C))
+        prod = (R1 * Ytile).astype(jnp.bfloat16)
+        base = base + jnp.einsum('hf,snf->snh', wf[p], prod,
+                                 preferred_element_type=jnp.float32)
+    bx = _silu(base)
+    dir_s = jnp.repeat(dir_out, K, axis=1)
+    cx = _silu(base + dir_s)
+    o1 = jnp.einsum('kh,snh->snk', w1t, bx.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    o2 = jnp.einsum('kh,snh->snk', w2t, cx.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    shp = (S, R, K)
+    return ((o1[..., 0] + b1[0, 0]).reshape(shp),
+            (o2[..., 0] + b2[0, 0]).reshape(shp),
+            (o2[..., 1] + b2[0, 1]).reshape(shp),
+            (o2[..., 2] + b2[0, 2]).reshape(shp))

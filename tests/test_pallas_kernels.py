@@ -1,0 +1,133 @@
+"""Pallas renderer kernels vs pure-JAX oracles (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssdnerf_tpu.ops import march_rays, near_far_from_aabb, morton3d, packbits
+from ssdnerf_tpu.ops.pallas.decode import (triplane_decode, decode_reference)
+from ssdnerf_tpu.ops.pallas.march import (occupancy_table, march_valid_mask)
+
+
+def test_occupancy_table_matches_morton_bitfield():
+    H = 64
+    rng = np.random.RandomState(0)
+    grid = rng.rand(2, H ** 3).astype(np.float32)
+    bitfield = packbits(jnp.asarray(grid), 0.9)
+    tab = np.asarray(occupancy_table(bitfield, H).astype(jnp.float32))
+    # oracle: byte at (y, x*8+zb) packs occ(x, y, zb*8+j) for j in 0..7
+    coords = rng.randint(0, H, size=(200, 3)).astype(np.int32)
+    m = np.asarray(morton3d(jnp.asarray(coords)))
+    bf = np.asarray(bitfield)
+    occ_ref = (bf[:, m >> 3] >> (m & 7).astype(np.uint8)) & 1
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    byte = tab[:, y, x * 8 + (z >> 3)].astype(np.int32)
+    occ_tab = (byte >> (z & 7)) & 1
+    np.testing.assert_array_equal(occ_tab, occ_ref)
+
+
+def test_march_valid_mask_matches_xla_march():
+    H, T, bound = 64, 256, 1.0
+    S, R = 2, 64
+    rng = np.random.RandomState(1)
+    key = jax.random.PRNGKey(0)
+    # coherent-ish occupancy: a solid ball
+    coords = np.stack(np.meshgrid(*[np.arange(H)] * 3, indexing='ij'),
+                      -1).reshape(-1, 3)
+    r2 = ((coords - H / 2 + 0.5) ** 2).sum(-1)
+    occ_lin = (r2 < (H * 0.3) ** 2).astype(np.float32)
+    m = np.asarray(morton3d(jnp.asarray(coords.astype(np.int32))))
+    grid = np.zeros((S, H ** 3), np.float32)
+    grid[:, m] = occ_lin
+    grid[1] = rng.rand(H ** 3) < 0.05  # plus a random scene
+    bitfield = packbits(jnp.asarray(grid), 0.5)
+
+    rays_o = jnp.asarray(rng.randn(S, R, 3).astype(np.float32)) * 0.1 \
+        + jnp.asarray([0., 0., 2.5])
+    rays_d = -rays_o + jnp.asarray(rng.randn(S, R, 3).astype(np.float32)) * .3
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    aabb = jnp.asarray([-bound] * 3 + [bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.2)
+    dt_gamma = jnp.asarray([0.0, 0.004], jnp.float32)
+    noise = jax.random.uniform(key, (S, R))
+    dt_min = 2 * np.sqrt(3) / T
+    dt_max = 2 * np.sqrt(3) / H
+    t0 = nears + jnp.clip(nears * dt_gamma[:, None], dt_min, dt_max) * noise
+
+    ref = jax.vmap(lambda o, d, nr, fr, bf, dg, nz: march_rays(
+        o, d, nr, fr, bf, H, bound, dg, T, nz))(
+        rays_o, rays_d, nears, fars, bitfield, dt_gamma, noise)
+
+    tab = occupancy_table(bitfield, H)
+    pack = jnp.concatenate([rays_o, rays_d, t0[..., None], fars[..., None]],
+                           axis=-1)
+    valid = march_valid_mask(pack, tab, dt_gamma, T=T, grid_size=H,
+                             bound=bound, max_steps=T, interpret=True)
+    mismatch = np.mean(np.asarray(valid, bool) != np.asarray(ref.valid))
+    # t values right at voxel boundaries may quantize differently in the
+    # fused f32 math; require bit-identical occupancy for ~all samples
+    assert mismatch < 2e-3, mismatch
+
+
+def _decode_inputs(seed=0, S=2, R=16, K=64, res=128, C=6, hidden=64):
+    rng = np.random.RandomState(seed)
+    planes = jnp.asarray(rng.randn(S, 3, C * res, res).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+    x, y, z = (jnp.asarray(rng.uniform(-1, 1, (S, R, K)).astype(np.float32))
+               for _ in range(3))
+    dir_out = jnp.asarray(rng.randn(S, R, hidden).astype(np.float32)) * 0.3
+    wb = rng.randn(3, hidden, C).astype(np.float32) * 0.2
+    wf = jnp.asarray(np.broadcast_to(wb[:, :, :, None],
+                                     (3, hidden, C, res)).reshape(
+        3, hidden, C * res)).astype(jnp.bfloat16)
+    bbt = jnp.asarray(rng.randn(hidden, 1).astype(np.float32)) * 0.1
+    w1t = np.zeros((128, hidden), np.float32)
+    w1t[0] = rng.randn(hidden) * 0.3
+    w2t = np.zeros((128, hidden), np.float32)
+    w2t[:3] = rng.randn(3, hidden) * 0.3
+    b1 = np.zeros((1, 128), np.float32)
+    b1[0, 0] = 0.1
+    b2 = np.zeros((1, 128), np.float32)
+    b2[0, :3] = rng.randn(3) * 0.1
+    return (planes, x, y, z, dir_out, wf, bbt, jnp.asarray(b1),
+            jnp.asarray(b2), jnp.asarray(w1t).astype(jnp.bfloat16),
+            jnp.asarray(w2t).astype(jnp.bfloat16), K)
+
+
+def test_triplane_decode_forward_matches_reference():
+    args = _decode_inputs()
+    outs = triplane_decode(*args, interpret=True)
+    refs = decode_reference(*args)
+    for o, r, name in zip(outs, refs, 'sigma r g b'.split()):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=3e-2, err_msg=name)
+
+
+def test_triplane_decode_grads_match_reference():
+    (planes, x, y, z, dir_out, wf, bb, b1, b2, w1t, w2t, K) = \
+        _decode_inputs(seed=3)
+    rng = np.random.RandomState(7)
+    g_outs = tuple(jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+                   for _ in range(4))
+
+    def make_loss(fn, *extra):
+        def loss(planes, dir_out, wf, bb, b1, b2, w1t, w2t):
+            outs = fn(planes.astype(jnp.bfloat16), x, y, z, dir_out,
+                      wf.astype(jnp.bfloat16), bb, b1, b2,
+                      w1t.astype(jnp.bfloat16), w2t.astype(jnp.bfloat16),
+                      K, *extra)
+            return sum(jnp.sum(o * g) for o, g in zip(outs, g_outs))
+        return loss
+
+    argnums = tuple(range(8))
+    f32 = jnp.float32
+    args = (planes.astype(f32), dir_out, wf.astype(f32), bb, b1, b2,
+            w1t.astype(f32), w2t.astype(f32))
+    gk = jax.grad(make_loss(triplane_decode, True), argnums)(*args)
+    gr = jax.grad(make_loss(decode_reference), argnums)(*args)
+    names = ['planes', 'dir_out', 'wf', 'bb', 'b1', 'b2', 'w1t', 'w2t']
+    for n, a, b in zip(names, gk, gr):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=4e-2,
+                                   err_msg=n)

@@ -65,6 +65,26 @@ def test_real_configs_load():
     assert cfg.total_iters == 1000000
 
 
+def test_all_reference_configs_load_and_build():
+    """Every reproduced reference config (24/24: paper, multiview, new,
+    supp) must load through `_base_` inheritance and construct its model."""
+    import glob
+    from ssdnerf_tpu.registry import build_model
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfgs = sorted(glob.glob(os.path.join(repo, 'configs/**/*.py'),
+                            recursive=True))
+    cfgs = [c for c in cfgs if os.sep + '_base_' + os.sep not in c]
+    assert len(cfgs) == 24, cfgs
+    for path in cfgs:
+        cfg = Config.fromfile(path)
+        tc = dict(cfg.get('train_cfg', {}))
+        tc.pop('cache_load_from', None)
+        model = build_model(cfg.model, train_cfg=tc,
+                            test_cfg=dict(cfg.get('test_cfg', {})))
+        assert model is not None, path
+        assert cfg.name == os.path.splitext(os.path.basename(path))[0], path
+
+
 def test_srn_dataset(srn_root):
     from ssdnerf_tpu.data import ShapeNetSRN
     ds = ShapeNetSRN(data_prefix=srn_root, num_test_imgs=1)

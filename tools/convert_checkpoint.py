@@ -122,12 +122,30 @@ def _map_resblock(src, prefix, out, our):
     return consumed
 
 
-def _map_attention(src, prefix, out, our):
+def _qkv_permute(w, groups, num_heads):
+    """mmgen qkv channel layout -> ours.
+
+    mmgen's attention reshape (modules.py:40-43: ``reshape(b, groups, -1,
+    sp).transpose(1, 2).reshape(b * num_heads, -1, groups * sp)`` then
+    ``chunk(3)``) makes each per-group output block head-major (nh, 3, hd);
+    our SelfAttention reads (3, nh, hd).  Permute the out-channel axis.
+    """
+    out_ch = w.shape[0]
+    per_g = out_ch // groups
+    hd = per_g // (3 * num_heads)
+    w = w.reshape((groups, num_heads, 3, hd) + w.shape[1:])
+    w = np.moveaxis(w, 2, 1)
+    return w.reshape((out_ch,) + w.shape[4:])
+
+
+def _map_attention(src, prefix, out, our, groups=1, num_heads=4):
     base = ('params', our)
     _set(out, base + ('norm', 'scale'), src[prefix + 'norm.weight'])
     _set(out, base + ('norm', 'bias'), src[prefix + 'norm.bias'])
-    _set(out, base + ('qkv', 'kernel'), _conv1d_w(src[prefix + 'qkv.weight']))
-    _set(out, base + ('qkv', 'bias'), src[prefix + 'qkv.bias'])
+    qkv_w = _qkv_permute(src[prefix + 'qkv.weight'], groups, num_heads)
+    qkv_b = _qkv_permute(src[prefix + 'qkv.bias'], groups, num_heads)
+    _set(out, base + ('qkv', 'kernel'), _conv1d_w(qkv_w))
+    _set(out, base + ('qkv', 'bias'), qkv_b)
     _set(out, base + ('proj', 'kernel'), _conv1d_w(src[prefix + 'proj.weight']))
     _set(out, base + ('proj', 'bias'), src[prefix + 'proj.bias'])
     return [k for k in src if k.startswith(prefix)]
@@ -138,6 +156,8 @@ def convert_unet(src, unet_cfg):
     the denoising module). Returns our flax params dict."""
     out = {}
     consumed = set()
+    groups = unet_cfg.get('groups', 1)
+    num_heads = unet_cfg.get('num_heads', 4)
     # time embedding: mmgen TimeEmbedding.blocks = Seq(Linear, act, Linear)
     _set(out, ('params', 'time_embedding', 'dense_0', 'kernel'),
          _lin_w(src['time_embedding.blocks.0.weight']))
@@ -163,7 +183,8 @@ def convert_unet(src, unet_cfg):
             elif kind == 'res':
                 consumed.update(_map_resblock(src, prefix, out, our))
             elif kind == 'attn':
-                consumed.update(_map_attention(src, prefix, out, our))
+                consumed.update(_map_attention(src, prefix, out, our,
+                                               groups, num_heads))
             elif kind == 'down':
                 _set(out, ('params', our, 'conv', 'kernel'),
                      _conv_w(src[prefix + 'downsample.weight']))
@@ -172,7 +193,8 @@ def convert_unet(src, unet_cfg):
                 consumed.update(k for k in src if k.startswith(prefix))
     # middle
     consumed.update(_map_resblock(src, 'mid_blocks.0.', out, 'mid_res_0'))
-    consumed.update(_map_attention(src, 'mid_blocks.1.', out, 'mid_attn'))
+    consumed.update(_map_attention(src, 'mid_blocks.1.', out, 'mid_attn',
+                                   groups, num_heads))
     consumed.update(_map_resblock(src, 'mid_blocks.2.', out, 'mid_res_1'))
     for idx, entries in out_map.items():
         for sub, our, kind in entries:
@@ -180,7 +202,8 @@ def convert_unet(src, unet_cfg):
             if kind == 'res':
                 consumed.update(_map_resblock(src, prefix, out, our))
             elif kind == 'attn':
-                consumed.update(_map_attention(src, prefix, out, our))
+                consumed.update(_map_attention(src, prefix, out, our,
+                                               groups, num_heads))
             elif kind == 'up':
                 _set(out, ('params', our, 'conv', 'kernel'),
                      _conv_w(src[prefix + 'conv.weight']))
