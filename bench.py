@@ -85,25 +85,45 @@ def main():
     total_rays = S * h * w
     rays_per_sec = total_rays / dt
 
-    # secondary: DDIM UNet steps/sec (stderr only)
+    # secondary: FULL DDIM sampler scan (50 steps, batch 8, 18x128x128),
+    # f32 and bf16-autocast variants (stderr only)
     try:
         diff_params = model.diffusion.init_params(key, batch=S)
-        x = jax.random.normal(key, (S, 18, 128, 128))
+        noise = jax.random.normal(key, (S,) + model.code_size)
+        n_steps = int(model.test_cfg.get('num_timesteps', 50))
 
-        @jax.jit
-        def unet_step(p, x):
-            return model.diffusion._apply_unet(
-                p, x, jnp.zeros((S,), jnp.int32))
+        def run_variant(autocast):
+            p = diff_params
+            x = model.code_diff_pr(noise)
+            if autocast:
+                from ssdnerf_tpu.models.autodecoders.diffusion_nerf import \
+                    _cast_tree
+                p = _cast_tree(p, jnp.bfloat16)
+                x = x.astype(jnp.bfloat16)
 
-        y = unet_step(diff_params, x)
-        _ = float(y[0, 0, 0, 0])
-        t0 = time.perf_counter()
-        for _ in range(5):
-            y = unet_step(diff_params, x)
-            _ = float(y[0, 0, 0, 0])
-        ddim_sps = 5 * S / (time.perf_counter() - t0)
-        print(f'[bench] ddim unet steps/sec (batch-items/s): {ddim_sps:.1f}',
-              file=sys.stderr)
+            @jax.jit
+            def sample(p, x, k):
+                out, _ = model.diffusion.sample_from_noise(
+                    p, x, k, cfg=model.test_cfg)
+                return out
+
+            k = jax.random.PRNGKey(1)
+            y = sample(p, x, k)
+            _ = float(jnp.asarray(y, jnp.float32).ravel()[0])
+            t0 = time.perf_counter()
+            n_rep = 3
+            for _i in range(n_rep):
+                y = sample(p, x, k)
+                _ = float(jnp.asarray(y, jnp.float32).ravel()[0])
+            dt = (time.perf_counter() - t0) / n_rep
+            tag = 'bf16' if autocast else 'f32'
+            print(f'[bench] ddim full sampler ({tag}): '
+                  f'{n_steps / dt:.1f} steps/s at batch {S} '
+                  f'({dt * 1e3:.0f} ms / {n_steps}-step sample)',
+                  file=sys.stderr)
+
+        run_variant(False)
+        run_variant(True)
     except Exception as e:  # secondary stat must never break the bench
         print(f'[bench] ddim bench skipped: {e}', file=sys.stderr)
 

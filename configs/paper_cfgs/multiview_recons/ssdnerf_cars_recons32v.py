@@ -1,6 +1,12 @@
 # 32-view reconstruction: longer finetuning with scaled triplane lr.
 _base_ = ['../ssdnerf_cars_recons1v.py']
 
+name = 'ssdnerf_cars_recons32v'
+code_dir = 'cache/' + name + '/code'
+work_dir = 'work_dirs/' + name
+
+train_cfg = dict(cache_load_from=code_dir)
+
 test_cfg = dict(
     n_inverse_steps=200,
     extra_scene_step=7,

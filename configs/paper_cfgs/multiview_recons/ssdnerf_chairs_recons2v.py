@@ -1,6 +1,12 @@
 # 2-view reconstruction on SRN Chairs.
 _base_ = ['../ssdnerf_chairs_recons1v.py']
 
+name = 'ssdnerf_chairs_recons2v'
+code_dir = 'cache/' + name + '/code'
+work_dir = 'work_dirs/' + name
+
+train_cfg = dict(cache_load_from=code_dir)
+
 test_cfg = dict(
     n_inverse_steps=50,
     optimizer=dict(type='Adam', lr=0.01, weight_decay=0.))

@@ -18,7 +18,7 @@ _LPIPS_BACKEND = None
 
 
 def _try_lpips():
-    """LPIPS needs pretrained VGG weights; gate on availability."""
+    """Torch lpips package if importable (pretrained weights); gated."""
     global _LPIPS_BACKEND
     if _LPIPS_BACKEND is not None:
         return _LPIPS_BACKEND
@@ -29,6 +29,19 @@ def _try_lpips():
     except Exception:
         _LPIPS_BACKEND = False
     return _LPIPS_BACKEND
+
+
+_LPIPS_JAX = None
+
+
+def _jax_lpips(weights_path=None):
+    """JAX-native VGG16 LPIPS (core/evaluation/feature_nets.py); uses
+    converted real weights when given, else seeded random features."""
+    global _LPIPS_JAX
+    if _LPIPS_JAX is None:
+        from ..core.evaluation.feature_nets import make_lpips
+        _LPIPS_JAX = make_lpips(weights_path)
+    return _LPIPS_JAX
 
 
 def visualize_triplane(code, scene_names, viz_dir, code_range=(-1, 1),
@@ -91,6 +104,14 @@ def eval_and_viz(model, state, code, density_bitfield, data, viz_dir=None,
                     vals.append(lp(p[i:i + 32] * 2 - 1,
                                    t[i:i + 32] * 2 - 1).flatten())
                 lpips_all = torch.cat(vals).numpy()
+            log_vars['test_lpips'] = float(lpips_all.mean())
+        else:
+            lp_jax = _jax_lpips(cfg.get('lpips_weights'))
+            p = np.asarray(pred, np.float32).transpose(0, 2, 3, 1)
+            t = np.asarray(target, np.float32).transpose(0, 2, 3, 1)
+            vals = [lp_jax(p[i:i + 32], t[i:i + 32])
+                    for i in range(0, len(p), 32)]
+            lpips_all = np.concatenate(vals)
             log_vars['test_lpips'] = float(lpips_all.mean())
 
     if viz_dir is None:

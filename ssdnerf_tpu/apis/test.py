@@ -115,4 +115,17 @@ def evaluate_3d(model, state, dataset, batch_size=8, metrics=None,
         total += num_valid
         log_fn(f'evaluate_3d: {total} scenes done; '
                + ', '.join(f'{k}={float(v):.4f}' for k, v in log_vars.items()))
+
+    # multi-host: weighted all-reduce of the log vars so every process
+    # reports dataset-wide averages (lib/apis/test.py:58-69 all_reduce)
+    if jax.process_count() > 1 and sums:
+        from jax.experimental import multihost_utils
+        keys = sorted(sums)
+        packed = np.asarray([[sums[k] for k in keys]
+                             + [float(weights[k]) for k in keys]],
+                            np.float64).astype(np.float32)
+        gathered = multihost_utils.process_allgather(packed)
+        agg = np.asarray(gathered).reshape(-1, 2 * len(keys)).sum(axis=0)
+        sums = {k: float(agg[i]) for i, k in enumerate(keys)}
+        weights = {k: float(agg[len(keys) + i]) for i, k in enumerate(keys)}
     return {k: sums[k] / max(weights[k], 1) for k in sums}

@@ -65,7 +65,10 @@ def train_model(cfg, work_dir=None, resume_from=None, seed=0, rank=0,
     loader = DataLoader(
         dataset, batch_size=cfg.data.get('samples_per_gpu', 8),
         rank=rank, world_size=world_size,
-        split_data=loader_cfg.get('split_data', True), seed=seed)
+        split_data=loader_cfg.get('split_data', True), seed=seed,
+        # batch overlap corrupts optimizer state with in-flight filesystem
+        # cache writes -> hard error in that mode (distributed_sampler.py:72)
+        strict_disjoint=getattr(model, 'num_file_writers', 0) > 0)
 
     txs, schedules = build_optimizers(model, cfg.get('optimizer', {}),
                                      cfg.get('lr_config'))
@@ -93,8 +96,16 @@ def train_model(cfg, work_dir=None, resume_from=None, seed=0, rank=0,
                     n += 1
             print(f'Loaded {n} state groups from {ckpt_path}')
 
-    cache = model.make_cache(rank, world_size) if model.cache_size > 0 \
-        else None
+    # local device mesh first: the scene-cache bank shards over it
+    mesh = None
+    n_local = jax.local_device_count()
+    if n_local > 1 and cfg.data.get('samples_per_gpu', 8) % n_local == 0:
+        from ..parallel import make_mesh
+        mesh = make_mesh(n_local)
+        print(f'Data-parallel over {n_local} local devices.')
+
+    cache = model.make_cache(rank, world_size, mesh=mesh) \
+        if model.cache_size > 0 else None
     if cache is not None:
         cache_load_from = model.train_cfg.get('cache_load_from')
         if load_cache_from_dir(cache, cache_load_from, scene_names):
@@ -121,15 +132,6 @@ def train_model(cfg, work_dir=None, resume_from=None, seed=0, rank=0,
         hooks.append(GenerativeEvalHook3D(
             dataset=val_dataset, metrics=metrics, **ev))
     hooks.sort(key=lambda h: h.priority)
-
-    # local device mesh: shard the scene batch across chips when possible
-    mesh = None
-    batch_size = cfg.data.get('samples_per_gpu', 8)
-    n_local = jax.local_device_count()
-    if n_local > 1 and batch_size % n_local == 0:
-        from ..parallel import make_mesh
-        mesh = make_mesh(n_local)
-        print(f'Data-parallel over {n_local} local devices.')
 
     runner = Runner(
         model, state, cache, loader, txs, work_dir,

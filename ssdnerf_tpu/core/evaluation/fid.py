@@ -51,13 +51,16 @@ class FID:
     def _get_extractor(self):
         if self._extractor is None:
             path = self.inception_args.get('inception_path')
-            if path and os.path.isfile(path):
+            jax_npz = self.inception_args.get('inception_npz')
+            from .feature_nets import make_inception_extractor
+            if jax_npz and os.path.isfile(jax_npz):
+                self._extractor = make_inception_extractor(jax_npz)
+            elif path and os.path.isfile(path):
                 self._extractor = _torchscript_inception(path)
             else:
-                raise RuntimeError(
-                    'No Inception feature extractor available: provide '
-                    '`feature_extractor` or a torch-scripted inception at '
-                    f'{path!r} (see tools/inception_stat.py).')
+                # JAX-native net with seeded random weights: valid for
+                # relative comparisons, prints a warning
+                self._extractor = make_inception_extractor(None)
         return self._extractor
 
     def feed(self, imgs, mode):

@@ -177,6 +177,20 @@ class SSDNeRFViewer:
             jnp.asarray(intr)[None, None], jnp.asarray(pose)[None, None])
         return np.clip(np.asarray(image)[0, 0], 0, 1)
 
+    def load_pose_file(self, path):
+        """Point the camera at a saved pose (SSDNeRFGUI pose loading,
+        ssdnerf_gui.py:283+): a 16-float SRN ``pose/*.txt`` or an ``.npy``
+        (4, 4) matrix; position is normalized like the dataset loader."""
+        if path.endswith('.npy'):
+            pose = np.load(path).astype(np.float32).reshape(4, 4)
+        else:
+            pose = np.loadtxt(path, dtype=np.float32).reshape(4, 4)
+        pose = pose.copy()
+        pose[:3, 3] /= 0.5  # SRN radius normalization (shapenet_srn.py:65)
+        self.cam.rot = pose[:3, :3]
+        self.cam.radius = float(np.linalg.norm(pose[:3, 3] - self.cam.center))
+        return pose
+
     def render_orbit_video(self, path, num_frames=60, fps=20, angle_amp=1.0):
         """Export an orbit video (the GUI's video export)."""
         import imageio

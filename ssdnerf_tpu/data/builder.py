@@ -51,7 +51,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, rank=0, world_size=1,
                  split_data=True, shuffle=True, seed=0, prefetch=2,
-                 check_batch_disjoint=True):
+                 check_batch_disjoint=True, strict_disjoint=False):
         self.dataset = dataset
         self.batch_size = batch_size
         n = len(dataset)
@@ -63,11 +63,30 @@ class DataLoader:
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed + rank)
         self.check_batch_disjoint = check_batch_disjoint
+        # raise (instead of proceeding) when consecutive batches can't be
+        # made scene-disjoint — overlap corrupts per-scene optimizer state
+        # when filesystem cache writers are in flight
+        # (distributed_sampler.py:72-83 raises likewise)
+        self.strict_disjoint = strict_disjoint
+        self._skip = 0
         self._queue = queue.Queue(maxsize=prefetch)
         self._thread = None
         self._stop = threading.Event()
         self.iters_per_epoch = max(
             1, int(np.ceil(len(self.indices) / batch_size)))
+
+    def skip_iters(self, n):
+        """Fast-forward the batch order by ``n`` iterations without loading
+        data — the resume analog of the reference sampler's ``skip_iter``
+        (lib/apis/train.py:188-196).  Replays the deterministic shuffle
+        sequence, so a resumed run visits exactly the batches an
+        uninterrupted run would.  No-op (with a warning) if iteration has
+        already started — the loader is then already positioned."""
+        if self._thread is not None:
+            import warnings
+            warnings.warn('DataLoader already iterating; skip_iters ignored')
+            return
+        self._skip = int(n)
 
     def _epoch_order(self):
         order = self.indices.copy()
@@ -84,12 +103,23 @@ class DataLoader:
         while True:
             order = self._epoch_order()
             if len(order) <= bs:
+                if self.strict_disjoint and prev:
+                    raise RuntimeError(
+                        'cannot keep consecutive batches scene-disjoint: '
+                        f'shard of {len(order)} scenes <= batch size {bs} '
+                        '(unsafe with filesystem cache writers)')
                 prev = set()  # single-batch shard: disjointness impossible
             else:
                 for _ in range(20):
                     if not (prev & set(order[:bs].tolist())):
                         break
                     self.rng.shuffle(order)
+                else:
+                    if self.strict_disjoint:
+                        raise RuntimeError(
+                            'failed to draw a scene-disjoint consecutive '
+                            'batch after 20 reshuffles (unsafe with '
+                            'filesystem cache writers)')
             n_full = max(1, len(order) // bs)
             for i in range(n_full):
                 batch_ids = order[i * bs:(i + 1) * bs]
@@ -99,18 +129,28 @@ class DataLoader:
                 yield batch_ids
 
     def _worker(self):
-        for batch_ids in self._batches():
-            if self._stop.is_set():
-                return
-            samples = [self.dataset[int(i)] for i in batch_ids]
-            self._queue.put(collate(samples))
+        try:
+            skipped = 0
+            for batch_ids in self._batches():
+                if self._stop.is_set():
+                    return
+                if skipped < self._skip:
+                    skipped += 1
+                    continue
+                samples = [self.dataset[int(i)] for i in batch_ids]
+                self._queue.put(collate(samples))
+        except Exception as exc:  # propagate to the consumer thread
+            self._queue.put(exc)
 
     def __iter__(self):
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
         while True:
-            yield self._queue.get()
+            item = self._queue.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
 
     def close(self):
         self._stop.set()

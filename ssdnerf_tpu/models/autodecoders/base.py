@@ -18,7 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..decoders.renderer import volume_render, update_density_grid
+from ..decoders.renderer import (volume_render, update_density_grid,
+                                 update_density_grid_partial, occupancy_pack)
 
 
 # --------------------------------------------------------------------- #
@@ -58,6 +59,21 @@ def adam_step(code_, grad, state: SceneOptState, lr, betas=(0.9, 0.999),
     lr = jnp.broadcast_to(jnp.asarray(lr, jnp.float32), step.shape)
     new_code = code_ - (lr / bc1).reshape(shape) * m / denom
     return new_code, SceneOptState(m=m, v=v, step=step)
+
+
+def grad_stats_logvars(prefix, grads):
+    """Per-parameter gradient RMS/std/mean scalars for SaveStatsHook —
+    the reference dumps the same three stats per param per rank
+    (lib/runner/hooks/save_stats.py)."""
+    out = {}
+    for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        name = jax.tree_util.keystr(path).replace("'", '').replace('][', '.')\
+            .strip('[]')
+        g = g.astype(jnp.float32)
+        out[f'grad_rms/{prefix}.{name}'] = jnp.sqrt(jnp.mean(g * g))
+        out[f'grad_std/{prefix}.{name}'] = jnp.std(g)
+        out[f'grad_mean/{prefix}.{name}'] = jnp.mean(g)
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -115,7 +131,7 @@ def rendering_loss(decoder, decoder_params, code, density_bitfield,
                    target_rgbs, rays_o, rays_d, grid_size, pixel_loss,
                    reg_loss=None, bg_color=1.0, dt_gamma=0.0, perturb_key=None,
                    scale_num_ray=1.0, loss_coef=None, step_chunk=None,
-                   deterministic=True, dropout_key=None):
+                   deterministic=True, dropout_key=None, occ_table=None):
     """Rendering loss on a ray batch (base_nerf.py:276-296).
 
     Returns (loss, (out_rgbs, loss_dict)).
@@ -124,7 +140,7 @@ def rendering_loss(decoder, decoder_params, code, density_bitfield,
         decoder, decoder_params, code, rays_o, rays_d, density_bitfield,
         grid_size, dt_gamma=dt_gamma, perturb_key=perturb_key,
         step_chunk=step_chunk, deterministic=deterministic,
-        dropout_key=dropout_key)
+        dropout_key=dropout_key, occ_table=occ_table)
     out_rgbs = outputs['image'] + bg_color * (1 - outputs['weights_sum'][..., None])
     scale = 1 - np.exp(-loss_coef * scale_num_ray) if loss_coef is not None else 1.0
     p_loss = pixel_loss(out_rgbs, target_rgbs) * (scale * 3)
@@ -148,7 +164,7 @@ def inverse_code(decoder, decoder_params, code_activation, code_act_state,
                  loss_coef=None, optimizer_cfg=None, lr_scheduler_cfg=None,
                  prior_grad=None, density_thresh=0.01,
                  update_extra_interval=16, step_chunk=None,
-                 density_point_chunk=None):
+                 density_point_chunk=None, partial_density_updates=False):
     """Optimize per-scene raw codes by inverse volume rendering
     (base_nerf.py:403-492), as a single lax.scan.
 
@@ -174,28 +190,56 @@ def inverse_code(decoder, decoder_params, code_activation, code_act_state,
     raybatch_inds = make_raybatch_indices(
         bkey, S, num_pixels, n_inverse_rays, n_inverse_steps)
 
-    def loss_fn(code__, bitfield, rays_o, rays_d, target, pkey, dkey):
+    def loss_fn(code__, bitfield, occ_table, rays_o, rays_d, target, pkey,
+                dkey):
         code = code_activation(code__, code_act_state)
         loss, aux = rendering_loss(
             decoder, decoder_params, code, bitfield, target, rays_o, rays_d,
             grid_size, pixel_loss, reg_loss, bg_color, dt_gamma,
             perturb_key=pkey, scale_num_ray=num_pixels, loss_coef=loss_coef,
-            step_chunk=step_chunk, deterministic=False, dropout_key=dkey)
+            step_chunk=step_chunk, deterministic=False, dropout_key=dkey,
+            occ_table=occ_table)
         return loss, aux
 
+    # Pallas march table: recomputed only when the density grid updates
+    # (every ``update_extra_interval`` steps), not per render.
+    table0 = occupancy_pack(decoder, density_bitfield, grid_size)
+    use_pack = table0 is not None
+    if not use_pack:  # dummy carried through the scan, ignored by renders
+        table0 = jnp.zeros((S, 1, 1), jnp.bfloat16)
+
     def step_fn(carry, xs):
-        code_, opt_state, grid, bitfield, key = carry
+        code_, opt_state, grid, bitfield, table, key = carry
         step_i, inds = xs
         key, ukey, skey, pkey, dkey = jax.random.split(key, 5)
 
         code = code_activation(code_, code_act_state)
-        grid, bitfield = jax.lax.cond(
+
+        def do_update():
+            kwargs = dict(density_thresh=density_thresh,
+                          point_chunk=density_point_chunk)
+            if partial_density_updates:
+                # first update of the loop is a full sweep, later ones the
+                # stochastic partial refresh (torch-ngp schedule)
+                g2, b2, _ = jax.lax.cond(
+                    step_i == 0,
+                    lambda: update_density_grid(
+                        decoder, decoder_params, code, grid, ukey, grid_size,
+                        **kwargs),
+                    lambda: update_density_grid_partial(
+                        decoder, decoder_params, code, grid, ukey, grid_size,
+                        **kwargs))
+            else:
+                g2, b2, _ = update_density_grid(
+                    decoder, decoder_params, code, grid, ukey, grid_size,
+                    **kwargs)
+            t2 = occupancy_pack(decoder, b2, grid_size) if use_pack \
+                else table
+            return g2, b2, t2
+
+        grid, bitfield, table = jax.lax.cond(
             step_i % update_extra_interval == 0,
-            lambda: update_density_grid(
-                decoder, decoder_params, code, grid, ukey, grid_size,
-                density_thresh=density_thresh,
-                point_chunk=density_point_chunk)[:2],
-            lambda: (grid, bitfield))
+            do_update, lambda: (grid, bitfield, table))
 
         if raybatch_inds is None:
             rays_o, rays_d, target = ray_sample(
@@ -206,8 +250,8 @@ def inverse_code(decoder, decoder_params, code_activation, code_act_state,
                 sample_inds=inds)
 
         (loss, (out_rgbs, loss_dict)), grad = jax.value_and_grad(
-            loss_fn, has_aux=True)(code_, bitfield, rays_o, rays_d, target,
-                                   pkey, dkey)
+            loss_fn, has_aux=True)(code_, bitfield, table, rays_o, rays_d,
+                                   target, pkey, dkey)
         if prior_grad is not None:
             grad = grad + prior_grad
         lr = lr0 if gamma is None else \
@@ -216,16 +260,17 @@ def inverse_code(decoder, decoder_params, code_activation, code_act_state,
                                      weight_decay=weight_decay)
         aux = dict(loss=loss, out_rgbs=out_rgbs, target_rgbs=target,
                    **loss_dict)
-        return (code_, opt_state, grid, bitfield, key), aux
+        return (code_, opt_state, grid, bitfield, table, key), aux
 
     if raybatch_inds is None:
         xs = (jnp.arange(n_inverse_steps),
               jnp.zeros((n_inverse_steps, 1), jnp.int32))
     else:
         xs = (jnp.arange(n_inverse_steps), raybatch_inds)
-    (code_, opt_state, density_grid, density_bitfield, _), aux_all = \
+    (code_, opt_state, density_grid, density_bitfield, _, _), aux_all = \
         jax.lax.scan(step_fn,
-                     (code_, opt_state, density_grid, density_bitfield, key),
+                     (code_, opt_state, density_grid, density_bitfield,
+                      table0, key),
                      xs)
     aux_last = jax.tree_util.tree_map(lambda a: a[-1], aux_all)
     return code_, opt_state, density_grid, density_bitfield, aux_last
@@ -253,11 +298,13 @@ def render_views(decoder, decoder_params, code, density_bitfield, grid_size,
     rays_o = rays_o.reshape(S, V * h * w, 3)
     rays_d = rays_d.reshape(S, V * h * w, 3)
     total = V * h * w
+    occ_table = occupancy_pack(decoder, density_bitfield, grid_size)
 
     def render_chunk(ro, rd):
         out = volume_render(
             decoder, decoder_params, code, ro, rd, density_bitfield,
-            grid_size, dt_gamma=dt_gamma, step_chunk=step_chunk)
+            grid_size, dt_gamma=dt_gamma, step_chunk=step_chunk,
+            occ_table=occ_table)
         img = out['image'] + bg_color * (1 - out['weights_sum'][..., None])
         return img, out['depth']
 

@@ -175,6 +175,9 @@ class DiffusionNeRF(MultiSceneNeRF):
                      opt_diffusion=new_opt_diff, ddpm_loss=new_loss_state,
                      code_act=new_act_state)
         log_vars = dict(log_vars, loss_diffusion=loss_diff)
+        if tc.get('log_grad_stats', False):
+            from .base import grad_stats_logvars
+            log_vars.update(grad_stats_logvars('diffusion', g_diff))
 
         if not has_cond or stage2:
             if not stage2:
@@ -202,7 +205,9 @@ class DiffusionNeRF(MultiSceneNeRF):
                 density_thresh=tc.get('density_thresh', 0.01),
                 update_extra_interval=self.update_extra_interval,
                 step_chunk=self.step_chunk,
-                density_point_chunk=self.density_point_chunk)
+                density_point_chunk=self.density_point_chunk,
+                partial_density_updates=tc.get('density_partial_update',
+                                               False))
             for k in ('pixel_loss', 'reg_loss'):
                 if k in aux:
                     log_vars[k] = aux[k]
@@ -231,6 +236,10 @@ class DiffusionNeRF(MultiSceneNeRF):
         (loss_dec, (out_rgbs, loss_dict)), (g_dec, g_code) = \
             jax.value_and_grad(dec_loss_fn, argnums=(0, 1), has_aux=True)(
                 decoder_params, code_)
+        if tc.get('log_grad_stats', False):
+            from .base import grad_stats_logvars
+            log_vars.update(grad_stats_logvars('decoder', g_dec))
+            log_vars.update(grad_stats_logvars('code', g_code))
         if not self.freeze_decoder:
             updates, new_opt_dec = tx_decoder.update(
                 g_dec, state['opt_decoder'], state['decoder'])
@@ -472,7 +481,9 @@ class DiffusionNeRF(MultiSceneNeRF):
                     density_thresh=tcfg.get('density_thresh', 0.01),
                     update_extra_interval=self.update_extra_interval,
                     step_chunk=self.step_chunk,
-                    density_point_chunk=self.density_point_chunk)
+                    density_point_chunk=self.density_point_chunk,
+                    partial_density_updates=tcfg.get(
+                        'density_partial_update', False))
             else:
                 k_upd, k_ray, k_pert = jax.random.split(k_inv, 3)
                 code = self.code_activation(code_, state['code_act'])

@@ -157,7 +157,7 @@ class DeviceSceneCache:
     """
 
     def __init__(self, cache_size, code_size, grid_size, cache_16bit=False,
-                 rank=0, world_size=1):
+                 rank=0, world_size=1, mesh=None):
         split = np.round(np.linspace(0, cache_size, world_size + 1)).astype(int)
         self.offset = int(split[rank])
         self.local_size = int(split[rank + 1] - split[rank])
@@ -167,13 +167,26 @@ class DeviceSceneCache:
         self._code_dtype = jnp.float16 if cache_16bit else jnp.float32
         self._opt_dtype = jnp.bfloat16 if cache_16bit else jnp.float32
         n, cs = self.local_size, self.code_size
-        self.code_ = jnp.zeros((n,) + cs, self._code_dtype)
-        self.m = jnp.zeros((n,) + cs, self._opt_dtype)
-        self.v = jnp.zeros((n,) + cs, self._opt_dtype)
-        self.step = jnp.zeros((n,), jnp.int32)
-        self.density_grid = jnp.zeros((n, grid_size ** 3), jnp.float16)
-        self.density_bitfield = jnp.zeros((n, grid_size ** 3 // 8), jnp.uint8)
-        self.seen = np.zeros((n,), bool)  # host-side bookkeeping only
+        # Under a device mesh, shard the whole bank over the scene axis so
+        # it occupies every chip's HBM evenly (instead of filling chip 0)
+        # and batch rows are gathered from their owning chip.
+        self._pin = lambda a: a
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            nd = int(np.prod(mesh.devices.shape))
+            n = int(np.ceil(n / nd) * nd)  # pad to shardable length
+            sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+            self._pin = lambda a: jax.device_put(a, sharding)
+        self._bank_size = n
+        self.code_ = self._pin(jnp.zeros((n,) + cs, self._code_dtype))
+        self.m = self._pin(jnp.zeros((n,) + cs, self._opt_dtype))
+        self.v = self._pin(jnp.zeros((n,) + cs, self._opt_dtype))
+        self.step = self._pin(jnp.zeros((n,), jnp.int32))
+        self.density_grid = self._pin(
+            jnp.zeros((n, grid_size ** 3), jnp.float16))
+        self.density_bitfield = self._pin(
+            jnp.zeros((n, grid_size ** 3 // 8), jnp.uint8))
+        self.seen = np.zeros((self.local_size,), bool)  # host-side only
 
     def _local(self, scene_ids):
         local = np.asarray(scene_ids) - self.offset
@@ -216,7 +229,7 @@ class DeviceSceneCache:
         return self.seen
 
     def state_dict(self):
-        out = {k: np.asarray(getattr(self, k)) for k in
+        out = {k: np.asarray(getattr(self, k))[:self.local_size] for k in
                ('code_', 'm', 'v', 'step', 'density_grid',
                 'density_bitfield')}
         out['seen'] = self.seen
@@ -226,8 +239,14 @@ class DeviceSceneCache:
         for k in ('code_', 'm', 'v', 'step', 'density_grid',
                   'density_bitfield'):
             if k in d:
-                setattr(self, k, jnp.asarray(d[k]).astype(
-                    getattr(self, k).dtype))
+                cur = getattr(self, k)
+                val = np.asarray(d[k])
+                if val.shape[0] < cur.shape[0]:  # pad to the bank size
+                    pad = np.zeros((cur.shape[0] - val.shape[0],)
+                                   + val.shape[1:], val.dtype)
+                    val = np.concatenate([val, pad], axis=0)
+                setattr(self, k, self._pin(jnp.asarray(val).astype(
+                    cur.dtype)))
         if 'seen' in d:
             self.seen[...] = d['seen']
 
@@ -235,7 +254,7 @@ class DeviceSceneCache:
         self.seen[:] = False
         for k in ('code_', 'm', 'v', 'step', 'density_grid',
                   'density_bitfield'):
-            setattr(self, k, jnp.zeros_like(getattr(self, k)))
+            setattr(self, k, self._pin(jnp.zeros_like(getattr(self, k))))
 
     def set_codes(self, code_, zero_opt=True):
         self.code_ = jnp.broadcast_to(
@@ -360,9 +379,10 @@ class MultiSceneNeRF:
     # -------------------------------------------------------------- #
     # state
     # -------------------------------------------------------------- #
-    def make_cache(self, rank=0, world_size=1):
+    def make_cache(self, rank=0, world_size=1, mesh=None):
         """cache_device: 'host' | 'device' | 'auto' (default: device when
-        the local shard fits a conservative HBM budget)."""
+        the local shard fits the aggregate HBM budget; with a mesh the bank
+        is sharded over all its chips)."""
         mode = getattr(self, 'cache_device', 'auto')
         if mode == 'auto':
             split = np.round(np.linspace(0, self.cache_size,
@@ -372,10 +392,15 @@ class MultiSceneNeRF:
             per_scene = (int(np.prod(self.code_size)) * 3 * code_bytes
                          + self.grid_size ** 3 * 2
                          + self.grid_size ** 3 // 8)
-            mode = 'device' if local * per_scene < 6e9 else 'host'
-        cls = DeviceSceneCache if mode == 'device' else SceneCache
-        return cls(self.cache_size, self.code_size, self.grid_size,
-                   self.cache_16bit, rank, world_size)
+            n_chips = int(np.prod(mesh.devices.shape)) if mesh is not None \
+                else 1
+            mode = 'device' if local * per_scene < 6e9 * n_chips else 'host'
+        if mode == 'device':
+            return DeviceSceneCache(self.cache_size, self.code_size,
+                                    self.grid_size, self.cache_16bit, rank,
+                                    world_size, mesh=mesh)
+        return SceneCache(self.cache_size, self.code_size, self.grid_size,
+                          self.cache_16bit, rank, world_size)
 
     def init_state(self, key, optimizer_cfg=None, lr_schedule=None):
         """Initialize decoder params/EMA/optimizer and running buffers."""
@@ -463,7 +488,8 @@ class MultiSceneNeRF:
                 density_thresh=tc.get('density_thresh', 0.01),
                 update_extra_interval=self.update_extra_interval,
                 step_chunk=self.step_chunk,
-                density_point_chunk=self.density_point_chunk)
+                density_point_chunk=self.density_point_chunk,
+                partial_density_updates=tc.get('density_partial_update', False))
 
         # joint decoder + code step
         code, new_act_state = self.code_activation(
@@ -490,6 +516,11 @@ class MultiSceneNeRF:
 
         (loss, (out_rgbs, loss_dict)), (g_dec, g_code) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(state['decoder'], code_)
+        grad_logs = {}
+        if tc.get('log_grad_stats', False):
+            from .base import grad_stats_logvars
+            grad_logs.update(grad_stats_logvars('decoder', g_dec))
+            grad_logs.update(grad_stats_logvars('code', g_code))
 
         updates, new_opt_dec = tx.update(g_dec, state['opt_decoder'],
                                          state['decoder'])
@@ -509,6 +540,7 @@ class MultiSceneNeRF:
                 + self.mean_ema_momentum * code.mean(axis=0))
 
         log_vars = {k: v for k, v in loss_dict.items()}
+        log_vars.update(grad_logs)
         log_vars.update(
             loss=loss,
             train_psnr=psnr(out_rgbs, target),
@@ -550,7 +582,8 @@ class MultiSceneNeRF:
             density_thresh=tcfg.get('density_thresh', 0.01),
             update_extra_interval=self.update_extra_interval,
             step_chunk=self.step_chunk,
-            density_point_chunk=self.density_point_chunk)
+            density_point_chunk=self.density_point_chunk,
+            partial_density_updates=tcfg.get('density_partial_update', False))
         code = self.code_activation(code_, state['code_act'])
         return code, grid, bitfield, aux
 

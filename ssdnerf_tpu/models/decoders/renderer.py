@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ...ops import near_far_from_aabb, march_rays, composite_rays, sh_encode
 from ...ops.activations import trunc_exp
 from ...ops.marching import SQRT3, compact_samples, t_at_step
-from ...ops.morton import morton3d_invert, packbits
+from ...ops.morton import packbits
 from ...ops import pallas as pallas_ops
 
 
@@ -100,17 +100,34 @@ def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
     sigmas = trunc_exp(sig_raw)
     if density_only:
         return sigmas, None
-    rgbs = jax.nn.sigmoid(jnp.stack([r_raw, g_raw, b_raw], axis=-1))
-    if decoder.sigmoid_saturation > 0:
-        rgbs = rgbs * (1 + decoder.sigmoid_saturation * 2) \
-            - decoder.sigmoid_saturation
-    return sigmas, rgbs
+
+    def act_rgb(c):
+        c = jax.nn.sigmoid(c)
+        if decoder.sigmoid_saturation > 0:
+            c = c * (1 + decoder.sigmoid_saturation * 2) \
+                - decoder.sigmoid_saturation
+        return c
+
+    return sigmas, tuple(act_rgb(c) for c in (r_raw, g_raw, b_raw))
+
+
+def occupancy_pack(decoder, density_bitfield, grid_size):
+    """Precompute the Pallas march table for a bitfield (or None when the
+    fused backend would not be used).  Renders repeat many times per
+    density-grid update; computing this once per update instead of once per
+    render removes the dominant prep cost from the render hot path."""
+    K = getattr(decoder, 'compact_steps', None)
+    if (getattr(decoder, 'backend', 'auto') == 'xla' or K is None
+            or not pallas_ops.march_supported(grid_size)
+            or not pallas_ops.decode_supported(decoder)):
+        return None
+    return pallas_ops.occupancy_table(density_bitfield, grid_size)
 
 
 def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
                   grid_size, dt_gamma=0.0, perturb_key=None, T_thresh=1e-4,
                   step_chunk: Optional[int] = None, deterministic=True,
-                  dropout_key=None):
+                  dropout_key=None, occ_table=None):
     """Render a batch of rays for a batch of scenes.
 
     Args:
@@ -155,8 +172,11 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
     compact_steps = getattr(decoder, 'compact_steps', None)
     backend = _resolve_backend(decoder, N, compact_steps, grid_size)
     if backend != 'xla':
+        if occ_table is None or occ_table.shape[-1] != grid_size * 8:
+            occ_table = pallas_ops.occupancy_table(density_bitfield,
+                                                   grid_size)
         return _volume_render_fused(
-            decoder, params, code, rays_o, rays_d, density_bitfield,
+            decoder, params, code, rays_o, rays_d, occ_table,
             grid_size, nears, fars, dt_gamma, noise, num_slots, max_steps,
             compact_steps, T_thresh, deterministic, dropout_key,
             interpret=(backend == 'pallas-interpret'))
@@ -218,7 +238,7 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
 
 
 def _volume_render_fused(decoder, params, code, rays_o, rays_d,
-                         density_bitfield, grid_size, nears, fars, dt_gamma,
+                         occ_table, grid_size, nears, fars, dt_gamma,
                          noise, num_slots, max_steps, K, T_thresh,
                          deterministic, dropout_key, interpret=False):
     """Pallas-fused render: march kernel -> compact -> decode kernel ->
@@ -229,11 +249,10 @@ def _volume_render_fused(decoder, params, code, rays_o, rays_d,
     dt_max = 2.0 * SQRT3 / grid_size
     t0 = nears + jnp.clip(nears * dt_gamma[:, None], dt_min, dt_max) * noise
 
-    g8 = pallas_ops.occupancy_table(density_bitfield, grid_size)
     pack = jnp.concatenate(
         [rays_o, rays_d, t0[..., None], fars[..., None]], axis=-1)
     valid = pallas_ops.march_valid_mask(
-        pack, g8, dt_gamma, T=num_slots, grid_size=grid_size,
+        pack, occ_table, dt_gamma, T=num_slots, grid_size=grid_size,
         bound=decoder.bound, max_steps=max_steps, interpret=interpret)
     valid = jax.lax.stop_gradient(valid) > 0.5
 
@@ -245,24 +264,37 @@ def _volume_render_fused(decoder, params, code, rays_o, rays_d,
     xyz = jnp.clip(
         rays_o[:, :, None, :] + comp_ts[..., None] * rays_d[:, :, None, :],
         -decoder.bound, decoder.bound)                  # (S, N, K, 3)
-    sigmas, rgbs = _decode_fused(
+    sigmas, rgb_ch = _decode_fused(
         decoder, params, code, xyz, rays_d, K, interpret,
         deterministic=deterministic, dropout_key=dropout_key)
-    weights_sum, depth, image = composite_rays(
-        sigmas, rgbs, comp_dts, comp_ts, comp_valid, T_thresh)
+    # channel-separate composite: a stacked (..., K, 3) rgb array would get
+    # 42x lane padding under the TPU's (8, 128) HBM tiling
+    tau = jnp.where(comp_valid, sigmas * comp_dts, 0.0)
+    cum = jnp.cumsum(tau, axis=-1)
+    T_excl = jnp.exp(-(cum - tau))
+    alpha = 1.0 - jnp.exp(-tau)
+    alive = jax.lax.stop_gradient(T_excl) >= T_thresh
+    weight = jnp.where(comp_valid & alive, alpha * T_excl, 0.0)
+    weights_sum = weight.sum(axis=-1)
+    depth = (weight * comp_ts).sum(axis=-1)
+    image = jnp.stack([(weight * c).sum(axis=-1) for c in rgb_ch], axis=-1)
     return dict(weights_sum=weights_sum, depth=depth, image=image)
 
 
 def _decode_density_all_voxels(decoder, params, code, key, grid_size,
                                point_chunk=None):
-    """Density at every voxel center (Morton order) with intra-voxel jitter.
+    """Density at every voxel center (linear x,y,z order) with intra-voxel
+    jitter.
 
-    Matches the reference full-update path (base_nerf.py:328-350): voxel
-    coords are visited in Morton order, jitter noise is shared across scenes.
+    Matches the reference full-update path (base_nerf.py:328-350) up to the
+    storage order: the reference visits voxels in Morton order, we use
+    linear (x, y, z) order internally (Morton only at cache-interop
+    boundaries) — the same voxel set with the same jitter distribution.
     """
     H = grid_size
     num_scenes = code.shape[0]
-    coords = morton3d_invert(jnp.arange(H ** 3, dtype=jnp.int32))  # (H^3, 3)
+    lin = jnp.arange(H ** 3, dtype=jnp.int32)
+    coords = jnp.stack([lin // (H * H), (lin // H) % H, lin % H], axis=-1)
     xyzs = (coords.astype(jnp.float32) - (H - 1) / 2.0) * (2.0 * decoder.bound / H)
     half_voxel = decoder.bound / H
     xyzs = xyzs + jax.random.uniform(
@@ -283,29 +315,107 @@ def _decode_density_all_voxels(decoder, params, code, key, grid_size,
     return sigmas
 
 
-def update_density_grid(decoder, params, code, density_grid, key,
-                        grid_size, density_thresh=0.01, decay=0.9,
-                        point_chunk=None):
-    """One full occupancy-grid update + bitfield repack.
-
-    The reference's partial/stochastic update path (base_nerf.py:352-376) is
-    unreachable in practice (``iter_density`` restarts at 0 every call site),
-    so only the full sweep is implemented; ``decay`` handles both the train
-    (0.9) and ``get_density`` (1.0) cases.
-
-    Returns (density_grid, density_bitfield, mean_density).
-    """
-    tmp = _decode_density_all_voxels(decoder, params, code, key, grid_size,
-                                     point_chunk)
+def _ema_and_pack(density_grid, tmp, tmp_valid, decay, density_thresh):
+    """Shared EMA-max merge + bitfield repack (base_nerf.py:379-389)."""
     tmp = jnp.minimum(tmp, float(jnp.finfo(density_grid.dtype).max)).astype(
         density_grid.dtype)
-    valid = density_grid >= 0
+    valid = (density_grid >= 0) & tmp_valid
     density_grid = jnp.where(
         valid, jnp.maximum(density_grid * decay, tmp), density_grid)
     mean_density = jnp.mean(jnp.clip(density_grid.astype(jnp.float32), 0, None))
     thresh = jnp.minimum(mean_density, density_thresh)
     bitfield = packbits(density_grid.astype(jnp.float32), thresh)
     return density_grid, bitfield, mean_density
+
+
+def update_density_grid(decoder, params, code, density_grid, key,
+                        grid_size, density_thresh=0.01, decay=0.9,
+                        point_chunk=None):
+    """One full occupancy-grid update + bitfield repack.
+
+    Note on the reference's partial/stochastic branch (base_nerf.py:352-376):
+    it is dead code there — every call site passes ``iter_density=0``
+    (diffusion_nerf.py:147-149, multiscene_nerf.py:218-220, and
+    base_nerf.py:447-448 where ``iter_density`` defaults to 0 and the local
+    ``iter_density += 1`` at :383 never propagates back), so ``iter_density
+    < 16`` is always true and only the full sweep ever executes.  (Had the
+    branch been reached it would also crash: the concatenation at :368-369
+    builds (2*num_scenes, N) point batches against (num_scenes, ...) codes.)
+    A working re-design of that partial update is still provided as the
+    opt-in :func:`update_density_grid_partial` below.
+
+    Returns (density_grid, density_bitfield, mean_density).
+    """
+    tmp = _decode_density_all_voxels(decoder, params, code, key, grid_size,
+                                     point_chunk)
+    return _ema_and_pack(density_grid, tmp, True, decay, density_thresh)
+
+
+def update_density_grid_partial(decoder, params, code, density_grid, key,
+                                grid_size, density_thresh=0.01, decay=0.9,
+                                point_chunk=None):
+    """Stochastic partial occupancy update (quarter the decode work).
+
+    Functional re-design of the torch-ngp partial update the reference
+    carries as dead code (see :func:`update_density_grid`): V/4 uniformly
+    random voxels (shared across scenes, matching base_nerf.py:356-358) plus
+    V/4 voxels resampled uniformly-with-replacement from each scene's
+    currently-occupied set, decoded with intra-voxel jitter and merged with
+    the same EMA-max rule.  The scene-mixing bug of the reference's version
+    is fixed (per-scene (S, 2N) batches instead of (2S, N)).
+
+    The occupied-set resampling is an exact two-level inverse-CDF lookup
+    (block counts + within-block prefix compare) — no data-dependent
+    shapes, TPU-friendly.
+    """
+    H = grid_size
+    V = H ** 3
+    N = V // 4
+    S = code.shape[0]
+    B = 512
+    k_unif, k_occ, k_jit = jax.random.split(key, 3)
+
+    unif_idx = jnp.broadcast_to(
+        jax.random.randint(k_unif, (N,), 0, V)[None], (S, N))
+
+    occ = (density_grid > 0)
+    occb = occ.reshape(S, V // B, B).astype(jnp.int32)
+    cnt = occb.sum(-1)                                    # (S, V/B)
+    cumb = jnp.cumsum(cnt, -1)                            # inclusive
+    n_occ = jnp.maximum(cumb[:, -1:], 1)
+    u = jnp.floor(jax.random.uniform(k_occ, (S, N)) * n_occ).astype(jnp.int32)
+    block = jnp.sum((cumb[:, None, :] <= u[..., None]).astype(jnp.int32), -1)
+    block = jnp.minimum(block, V // B - 1)
+    base = jnp.where(block > 0,
+                     jnp.take_along_axis(cumb, jnp.maximum(block - 1, 0), 1),
+                     0)
+    cumrows = jnp.cumsum(occb, -1)                        # (S, V/B, B)
+    rows = jnp.take_along_axis(cumrows, block[:, :, None], axis=1)
+    within = jnp.sum((rows <= (u - base)[..., None]).astype(jnp.int32), -1)
+    occ_idx = block * B + jnp.minimum(within, B - 1)
+
+    idx = jnp.concatenate([unif_idx, occ_idx], axis=1)    # (S, 2N)
+    coords = jnp.stack([idx // (H * H), (idx // H) % H, idx % H],
+                       axis=-1).astype(jnp.float32)
+    xyzs = (coords - (H - 1) / 2.0) * (2.0 * decoder.bound / H)
+    half_voxel = decoder.bound / H
+    xyzs = xyzs + jax.random.uniform(
+        k_jit, xyzs.shape, minval=-half_voxel, maxval=half_voxel)
+    if point_chunk is not None and (point_chunk >= 2 * N
+                                    or (2 * N) % point_chunk != 0):
+        point_chunk = None
+    if point_chunk is None:
+        sigmas = decoder.apply(params, code, xyzs, density_only=True)[0]
+    else:
+        xc = xyzs.reshape(S, (2 * N) // point_chunk, point_chunk, 3)
+        sigmas = jax.lax.map(
+            lambda x: decoder.apply(params, code, x, density_only=True)[0],
+            jnp.moveaxis(xc, 1, 0))
+        sigmas = jnp.moveaxis(sigmas, 0, 1).reshape(S, 2 * N)
+
+    tmp = jnp.full_like(density_grid, -1, dtype=jnp.float32)
+    tmp = tmp.at[jnp.arange(S)[:, None], idx].max(sigmas)
+    return _ema_and_pack(density_grid, tmp, tmp >= 0, decay, density_thresh)
 
 
 def get_density(decoder, params, code, key, grid_size, density_thresh=0.01,

@@ -289,6 +289,8 @@ class GaussianDiffusion:
         langevin_on = np.array(
             [(langevin_steps > 0) and (lo < tp < hi) for tp in t_prevs])
 
+        in_dtype = noise.dtype  # keep the scan carry dtype under autocast
+
         def body(carry, xs):
             x_t, gstate, k = carry
             t, t_prev, ci, lang_on = xs
@@ -298,6 +300,7 @@ class GaussianDiffusion:
                 params, x_t, t, t_prev, key=k1, cfg=cfg,
                 grad_guide_fn=grad_guide_fn, guide_state=gstate,
                 concat_cond=cc, **kwargs)
+            x_t = x_t.astype(in_dtype)
 
             if langevin_steps > 0:
                 def lang_body(i, val):
@@ -310,7 +313,7 @@ class GaussianDiffusion:
                         grad_guide_fn=grad_guide_fn, guide_state=gs,
                         concat_cond=ccl, **kwargs)
                     keep = lang_on
-                    x = jnp.where(keep, x_new, x)
+                    x = jnp.where(keep, x_new, x).astype(in_dtype)
                     gs = jax.tree_util.tree_map(
                         lambda a, b: jnp.where(keep, a, b), gs_new, gs) \
                         if gs is not None else None
@@ -367,7 +370,7 @@ class GaussianDiffusion:
             x_t, _, gstate = self.p_sample_ddpm(
                 params, x_t, t, k1, cfg=cfg, grad_guide_fn=grad_guide_fn,
                 guide_state=gstate, concat_cond=cc, **kwargs)
-            return (x_t, gstate, k), None
+            return (x_t.astype(noise.dtype), gstate, k), None
 
         (x_final, guide_state, _), _ = jax.lax.scan(
             body, (noise, guide_state, key),

@@ -22,8 +22,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .morton import morton3d, morton3d_invert
-
 SQRT3 = float(np.sqrt(3.0))
 
 
@@ -76,7 +74,9 @@ def march_rays(rays_o, rays_d, nears, fars, density_bitfield, grid_size,
                  -bound, bound)
     n = jnp.clip((0.5 * (x / mip_bound + 1.0) * H).astype(jnp.int32),
                  0, H - 1)
-    idx = morton3d(n)  # (N, K)
+    # density grids/bitfields use LINEAR (x, y, z) voxel order internally
+    # (Morton only at .pth cache-interop boundaries, tools/convert_cache.py)
+    idx = (n[..., 0] * H + n[..., 1]) * H + n[..., 2]  # (N, K)
     byte = density_bitfield[idx >> 3]
     occ = ((byte >> (idx & 7).astype(jnp.uint8)) & 1).astype(jnp.bool_)
     valid = occ & (ts < fars[:, None])
@@ -162,7 +162,8 @@ def occupied_aabb(density_bitfield, grid_size, bound):
     from .morton import unpackbits
     H = grid_size
     occ = unpackbits(density_bitfield)                       # (..., H^3)
-    coords = morton3d_invert(jnp.arange(H ** 3, dtype=jnp.int32))  # (H^3, 3)
+    lin = jnp.arange(H ** 3, dtype=jnp.int32)
+    coords = jnp.stack([lin // (H * H), (lin // H) % H, lin % H], axis=-1)
     coords = coords.astype(jnp.float32)
     big = jnp.float32(H)
     lo_idx = jnp.min(jnp.where(occ[..., None], coords, big), axis=-2)

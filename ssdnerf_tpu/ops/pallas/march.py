@@ -41,34 +41,23 @@ def march_supported(grid_size):
 
 
 def occupancy_table(density_bitfield, grid_size=64):
-    """Morton-ordered bitfield -> byte table for the march kernel.
+    """Linear (x, y, z)-ordered bitfield -> byte table for the march kernel.
 
-    Morton interleave (x bit 0, y bit 1, z bit 2 — raymarching.cu:212-236)
-    is a pure bit permutation of the index, i.e. a reshape into 3*log2(H)
-    two-element axes + transpose (no gathers).
+    With the internal linear voxel order, each bitfield byte already packs
+    one z-octet; the table is a byte-level (x, y) transpose plus a bf16
+    cast — no bit-level work.
 
     Args:
-        density_bitfield: (..., grid_size**3 // 8) uint8.
+        density_bitfield: (..., grid_size**3 // 8) uint8, linear order
+            (bit index = (x*H + y)*H + z).
     Returns:
         (..., grid_size, grid_size * 8) bf16 table T where
         ``T[..., y, x*8 + zb]`` packs occupancy bits z = zb*8 .. zb*8+7.
     """
-    from ..morton import unpackbits
     H = grid_size
-    nb = int(np.log2(H))
     lead = density_bitfield.shape[:-1]
-    bits = unpackbits(density_bitfield)
-    # axes (MSB first): [z_{nb-1} y_{nb-1} x_{nb-1} ... z_0 y_0 x_0]
-    occ = bits.reshape(lead + (2,) * (3 * nb))
-    n0 = len(lead)
-    x_axes = [n0 + 3 * i + 2 for i in range(nb)]
-    y_axes = [n0 + 3 * i + 1 for i in range(nb)]
-    z_axes = [n0 + 3 * i for i in range(nb)]
-    occ = occ.transpose(tuple(range(n0)) + tuple(x_axes + y_axes + z_axes))
-    occ = occ.reshape(lead + (H, H, H // 8, 8)).astype(jnp.float32)
-    weights = (2.0 ** jnp.arange(8, dtype=jnp.float32))
-    bytes_ = jnp.einsum('...j,j->...', occ, weights)   # (..., x, y, zb)
-    bytes_ = jnp.moveaxis(bytes_, -3, -2)              # (..., y, x, zb)
+    bytes_ = density_bitfield.reshape(lead + (H, H, H // 8))  # (x, y, zb)
+    bytes_ = jnp.swapaxes(bytes_, -3, -2)                     # (y, x, zb)
     return bytes_.reshape(lead + (H, H * 8)).astype(jnp.bfloat16)
 
 

@@ -78,6 +78,9 @@ def make_parallel_train_step(model, txs, mesh, axis_name='data'):
             scene_spec(data),
             repl,
         )
-        return jax.jit(raw_step, in_shardings=in_shardings)
+        # donate state + scene_batch: both are returned updated each step
+        # (EMA params are de-aliased at init so donation is safe)
+        return jax.jit(raw_step, in_shardings=in_shardings,
+                       donate_argnums=(0, 1))
 
     return compile_for

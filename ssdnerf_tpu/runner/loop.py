@@ -256,4 +256,9 @@ class Runner:
                                   f'cache_rank{self.rank}.npz')
         if self.cache is not None and os.path.exists(cache_path):
             self.cache.load_state_dict(dict(np.load(cache_path)))
+        # fast-forward the deterministic batch order so the resumed run
+        # continues the exact sequence an uninterrupted run would see
+        # (reference: sampler.skip_iter, lib/apis/train.py:188-196)
+        if hasattr(self.data_loader, 'skip_iters'):
+            self.data_loader.skip_iters(iteration)
         self.log_text(f'Resumed from {path} at iter {iteration}')

@@ -179,13 +179,10 @@ def test_march_and_composite_vs_oracle():
     bound = 1.0
     max_steps = 64
     rng = np.random.RandomState(5)
-    # random occupancy grid in xyz layout
+    # random occupancy grid in xyz layout (= the internal linear order)
     occ_xyz = rng.uniform(size=(H, H, H)) > 0.4
-    # build Morton-ordered bitfield
-    lut = morton_grid_indices(H)
-    grid_morton = np.zeros(H ** 3, np.float32)
-    grid_morton[lut.reshape(-1)] = occ_xyz.reshape(-1).astype(np.float32)
-    bitfield = np.array(packbits(jnp.array(grid_morton[None]), 0.5))[0]
+    grid_lin = occ_xyz.reshape(-1).astype(np.float32)
+    bitfield = np.array(packbits(jnp.array(grid_lin[None]), 0.5))[0]
 
     N = 16
     o = rng.uniform(-2, 2, (N, 3)).astype(np.float32)

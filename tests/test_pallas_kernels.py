@@ -4,12 +4,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from ssdnerf_tpu.ops import march_rays, near_far_from_aabb, morton3d, packbits
+from ssdnerf_tpu.ops import march_rays, near_far_from_aabb, packbits
 from ssdnerf_tpu.ops.pallas.decode import (triplane_decode, decode_reference)
 from ssdnerf_tpu.ops.pallas.march import (occupancy_table, march_valid_mask)
 
 
-def test_occupancy_table_matches_morton_bitfield():
+def test_occupancy_table_matches_linear_bitfield():
     H = 64
     rng = np.random.RandomState(0)
     grid = rng.rand(2, H ** 3).astype(np.float32)
@@ -17,9 +17,9 @@ def test_occupancy_table_matches_morton_bitfield():
     tab = np.asarray(occupancy_table(bitfield, H).astype(jnp.float32))
     # oracle: byte at (y, x*8+zb) packs occ(x, y, zb*8+j) for j in 0..7
     coords = rng.randint(0, H, size=(200, 3)).astype(np.int32)
-    m = np.asarray(morton3d(jnp.asarray(coords)))
+    lin = (coords[:, 0] * H + coords[:, 1]) * H + coords[:, 2]
     bf = np.asarray(bitfield)
-    occ_ref = (bf[:, m >> 3] >> (m & 7).astype(np.uint8)) & 1
+    occ_ref = (bf[:, lin >> 3] >> (lin & 7).astype(np.uint8)) & 1
     x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
     byte = tab[:, y, x * 8 + (z >> 3)].astype(np.int32)
     occ_tab = (byte >> (z & 7)) & 1
@@ -36,9 +36,7 @@ def test_march_valid_mask_matches_xla_march():
                       -1).reshape(-1, 3)
     r2 = ((coords - H / 2 + 0.5) ** 2).sum(-1)
     occ_lin = (r2 < (H * 0.3) ** 2).astype(np.float32)
-    m = np.asarray(morton3d(jnp.asarray(coords.astype(np.int32))))
-    grid = np.zeros((S, H ** 3), np.float32)
-    grid[:, m] = occ_lin
+    grid = np.broadcast_to(occ_lin, (S, H ** 3)).copy()
     grid[1] = rng.rand(H ** 3) < 0.05  # plus a random scene
     bitfield = packbits(jnp.asarray(grid), 0.5)
 

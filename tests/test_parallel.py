@@ -115,3 +115,40 @@ def test_train_model_with_mesh(tmp_path):
     assert runner.mesh is not None
     assert runner.iteration == 2
     assert np.isfinite(float(runner.last_log_vars['loss_diffusion']))
+    # the scene-cache bank is sharded over all mesh devices, not parked on
+    # device 0
+    if hasattr(runner.cache, 'code_'):
+        devs = {s.device for s in runner.cache.code_.addressable_shards}
+        assert len(devs) == 8, devs
+
+
+def test_device_cache_mesh_sharding_roundtrip():
+    """Sharded bank: load/save round-trips and shards span the mesh."""
+    from ssdnerf_tpu.models.autodecoders.multiscene import DeviceSceneCache
+    from ssdnerf_tpu.parallel import make_mesh
+    from ssdnerf_tpu.models.autodecoders.base import SceneOptState
+    mesh = make_mesh(8)
+    cache = DeviceSceneCache(10, (3, 2, 4, 4), 16, cache_16bit=False,
+                             mesh=mesh)
+    assert cache._bank_size % 8 == 0
+    assert len({s.device for s in cache.code_.addressable_shards}) == 8
+    rng = np.random.RandomState(0)
+    ids = np.array([1, 4, 7])
+    code = jnp.asarray(rng.randn(3, 3, 2, 4, 4).astype(np.float32))
+    opt = SceneOptState(m=jnp.zeros_like(code), v=jnp.ones_like(code),
+                        step=jnp.ones((3,), jnp.int32))
+    grid = jnp.asarray(rng.rand(3, 16 ** 3).astype(np.float16))
+    bf = jnp.zeros((3, 16 ** 3 // 8), jnp.uint8)
+    cache.save(ids, code, opt, grid, bf)
+    out = cache.load(ids)
+    np.testing.assert_allclose(np.asarray(out['code_']), np.asarray(code),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out['density_grid']),
+                               np.asarray(grid))
+    sd = cache.state_dict()
+    assert sd['code_'].shape[0] == 10  # unpadded in checkpoints
+    cache2 = DeviceSceneCache(10, (3, 2, 4, 4), 16, mesh=mesh)
+    cache2.load_state_dict(sd)
+    out2 = cache2.load(ids)
+    np.testing.assert_allclose(np.asarray(out2['code_']), np.asarray(code),
+                               atol=1e-6)

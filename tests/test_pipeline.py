@@ -74,7 +74,10 @@ def test_all_reference_configs_load_and_build():
     cfgs = sorted(glob.glob(os.path.join(repo, 'configs/**/*.py'),
                             recursive=True))
     cfgs = [c for c in cfgs if os.sep + '_base_' + os.sep not in c]
-    assert len(cfgs) == 24, cfgs
+    # 24 reference configs (paper 10 + multiview 6 + new 5 + supp 3) plus
+    # TPU-native additions (bf16 variants)
+    assert len(cfgs) >= 24, cfgs
+    import re
     for path in cfgs:
         cfg = Config.fromfile(path)
         tc = dict(cfg.get('train_cfg', {}))
@@ -82,7 +85,15 @@ def test_all_reference_configs_load_and_build():
         model = build_model(cfg.model, train_cfg=tc,
                             test_cfg=dict(cfg.get('test_cfg', {})))
         assert model is not None, path
-        assert cfg.name == os.path.splitext(os.path.basename(path))[0], path
+        # name parity with the reference config of the same filename
+        ref_path = os.path.join('/root/reference/configs',
+                                os.path.relpath(path,
+                                                os.path.join(repo, 'configs')))
+        if os.path.exists(ref_path):
+            with open(ref_path) as f:
+                m = re.search(r"^name = '([^']+)'", f.read(), re.M)
+            if m:
+                assert cfg.name == m.group(1), (path, cfg.name, m.group(1))
 
 
 def test_srn_dataset(srn_root):
@@ -237,3 +248,26 @@ def test_dataloader_disjoint_batches(srn_root):
     l1 = DataLoader(IdxDataset(), batch_size=2, rank=1, world_size=2)
     assert set(l0.indices) | set(l1.indices) == set(range(7))
     assert max(l0.indices) < min(l1.indices)
+
+    # resume fast-forward: skipping k batches replays the exact sequence an
+    # uninterrupted run would produce from batch k on
+    full = DataLoader(IdxDataset(), batch_size=2, shuffle=True, seed=11)
+    it = iter(full)
+    ref_batches = [sorted(int(i) for i in next(it)['scene_id'])
+                   for _ in range(12)]
+    full.close()
+    resumed = DataLoader(IdxDataset(), batch_size=2, shuffle=True, seed=11)
+    resumed.skip_iters(5)
+    it = iter(resumed)
+    got = [sorted(int(i) for i in next(it)['scene_id']) for _ in range(7)]
+    assert got == ref_batches[5:], (got, ref_batches[5:])
+    resumed.close()
+
+    # strict mode raises when disjointness is impossible (shard <= batch)
+    strict = DataLoader(IdxDataset(), batch_size=7, shuffle=True,
+                        strict_disjoint=True)
+    it = iter(strict)
+    next(it)
+    with pytest.raises(RuntimeError, match='disjoint'):
+        next(it)
+    strict.close()

@@ -152,10 +152,65 @@ def test_render_with_real_decoder_end_to_end():
     assert out['image'].shape == (1, 256, 3)
 
 
+def test_partial_density_update_tracks_full_update():
+    """The stochastic partial update must (a) decay stale occupied voxels
+    with the same EMA rule, (b) refresh occupied voxels it resamples, and
+    (c) leave never-visited empty voxels untouched — converging to the same
+    occupancy set as full sweeps on a stationary density field."""
+    from ssdnerf_tpu.models.decoders.renderer import (
+        update_density_grid, update_density_grid_partial)
+
+    H = 64
+
+    class BallDecoder(ConstDecoder):
+        @nn.compact
+        def __call__(self, code, xyzs, dirs=None, density_only=False,
+                     deterministic=True):
+            dummy = self.param('w', nn.initializers.ones, (1,))
+            r = jnp.linalg.norm(xyzs, axis=-1)
+            sig = jnp.where(r < 0.5, 20.0, 0.0) * dummy[0]
+            return sig, None
+
+    import flax.linen as nn_  # noqa: F401
+    dec = BallDecoder()
+    code = jnp.zeros((2, 3, 2, 4, 4))
+    params = dec.init(jax.random.PRNGKey(0), code, jnp.zeros((2, 8, 3)))
+
+    key = jax.random.PRNGKey(1)
+    grid_f = jnp.zeros((2, H ** 3), jnp.float16)
+    grid_p = jnp.zeros((2, H ** 3), jnp.float16)
+    # one full sweep to seed both
+    key, k = jax.random.split(key)
+    grid_f, bf_f, _ = update_density_grid(dec, params, code, grid_f, k, H)
+    grid_p, bf_p, _ = update_density_grid(dec, params, code, grid_p, k, H)
+    for _ in range(6):
+        key, k1, k2 = jax.random.split(key, 3)
+        grid_f, bf_f, _ = update_density_grid(dec, params, code, grid_f,
+                                              k1, H)
+        grid_p, bf_p, _ = update_density_grid_partial(dec, params, code,
+                                                      grid_p, k2, H)
+    occ_f = np.asarray(grid_f) > 0.1
+    occ_p = np.asarray(grid_p) > 0.1
+    # same occupancy support (the ball), up to jitter at the boundary shell
+    agree = (occ_f == occ_p).mean()
+    assert agree > 0.99, agree
+    # the partial path keeps the interior occupied
+    r2 = _voxel_radii(H) ** 2
+    interior = r2 < 0.4 ** 2
+    assert np.asarray(grid_p)[:, interior].min() > 1.0
+
+
+def _voxel_radii(H):
+    lin = np.arange(H ** 3)
+    coords = np.stack([lin // (H * H), (lin // H) % H, lin % H], -1)
+    xyz = (coords - (H - 1) / 2.0) * (2.0 / H)
+    return np.linalg.norm(xyz, axis=-1)
+
+
 def test_march_slots_with_occupied_box():
     """Reduced-slot marching clipped to the occupied AABB reproduces the
     dense render when occupancy is confined to a small region."""
-    from ssdnerf_tpu.ops.morton import morton_grid_indices, packbits
+    from ssdnerf_tpu.ops.morton import packbits
     import flax.linen as nn
 
     class SlabDecoder(ConstDecoder):
@@ -165,9 +220,7 @@ def test_march_slots_with_occupied_box():
     # occupancy: a z-slab at z in [0.25, 0.5] (voxel idx 10..11 of 16)
     occ = np.zeros((H, H, H), bool)
     occ[:, :, 10:12] = True
-    lut = morton_grid_indices(H)
-    grid = np.zeros(H ** 3, np.float32)
-    grid[lut.reshape(-1)] = occ.reshape(-1)
+    grid = occ.reshape(-1).astype(np.float32)  # linear (x, y, z) order
     bf = np.array(packbits(jnp.array(grid[None]), 0.5))
 
     N = 32

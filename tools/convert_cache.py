@@ -3,11 +3,52 @@
 (multiscene_nerf.py:146-155: {scene_name, param:{code_, density_grid,
 density_bitfield}, optimizer}) and this framework's ``.npz`` format, in
 either direction.  Enables warm-starting from reference caches and
-exporting back."""
+exporting back.
+
+Layout note: the reference stores density grids/bitfields in Morton
+(Z-order) voxel order (raymarching.cu:212-300); this framework uses linear
+(x, y, z) order internally.  The conversion permutes both ways here — the
+only place Morton order crosses the boundary."""
 import argparse
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _perm(n_voxels):
+    from ssdnerf_tpu.ops.morton import morton_grid_indices
+    H = round(n_voxels ** (1 / 3))
+    assert H ** 3 == n_voxels, n_voxels
+    return morton_grid_indices(H).ravel()  # morton index of linear voxel l
+
+
+def grid_morton_to_linear(grid):
+    return grid[..., _perm(grid.shape[-1])]
+
+
+def grid_linear_to_morton(grid):
+    out = np.empty_like(grid)
+    out[..., _perm(grid.shape[-1])] = grid
+    return out
+
+
+def _bits(bitfield):
+    return np.unpackbits(bitfield, axis=-1, bitorder='little')
+
+
+def _pack(bits):
+    return np.packbits(bits, axis=-1, bitorder='little')
+
+
+def bitfield_morton_to_linear(bf):
+    return _pack(grid_morton_to_linear(_bits(bf)))
+
+
+def bitfield_linear_to_morton(bf):
+    return _pack(grid_linear_to_morton(_bits(bf)))
 
 
 def pth_to_npz(src, dst):
@@ -18,8 +59,10 @@ def pth_to_npz(src, dst):
                scene_id=obj.get('scene_id', -1))
     code_key = 'code_' if 'code_' in param else 'code'
     out['code_'] = param[code_key].float().numpy()
-    out['density_grid'] = param['density_grid'].numpy()
-    out['density_bitfield'] = param['density_bitfield'].numpy()
+    out['density_grid'] = grid_morton_to_linear(
+        param['density_grid'].numpy())
+    out['density_bitfield'] = bitfield_morton_to_linear(
+        param['density_bitfield'].numpy())
     opt = obj.get('optimizer', {})
     state = opt.get('state', {})
     if 0 in state:
@@ -36,8 +79,10 @@ def npz_to_pth(src, dst):
     d = np.load(src)
     param = dict(
         code_=torch.from_numpy(d['code_']),
-        density_grid=torch.from_numpy(d['density_grid']),
-        density_bitfield=torch.from_numpy(d['density_bitfield']))
+        density_grid=torch.from_numpy(
+            grid_linear_to_morton(d['density_grid'])),
+        density_bitfield=torch.from_numpy(
+            bitfield_linear_to_morton(d['density_bitfield'])))
     optimizer = {}
     if 'optimizer_m' in d:
         optimizer = dict(
