@@ -64,24 +64,33 @@ def main():
     rays_o = rays_o.reshape(S, h * w, 3)
     rays_d = rays_d.reshape(S, h * w, 3)
 
-    @jax.jit
-    def render(code, rays_o, rays_d, bitfield):
+    def render_sum(code, rays_o, rays_d, bitfield):
         out = volume_render(model.decoder, params, code, rays_o, rays_d,
                             bitfield, model.grid_size,
                             dt_gamma=0.5 / 131.25, T_thresh=1e-4,
                             step_chunk=4)
-        return out['image']
+        return out['image'].sum()
 
-    # NOTE: block_until_ready does not reliably block on the axon remote
-    # backend; force a host readback each iteration instead.
-    img = render(code, rays_o, rays_d, bitfield)
-    _ = float(img.sum())
+    # The axon remote backend adds ~30 ms RTT per dispatch+readback and
+    # block_until_ready does not reliably block on it, so time `n_iters`
+    # sequential renders inside ONE jit (fori_loop carry serializes them;
+    # the eps*i input perturbation defeats loop-invariant hoisting) and do
+    # a single 8-byte readback.
     n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        img = render(code, rays_o, rays_d, bitfield)
-        _ = float(img[0, 0, 0])
-    dt = (time.perf_counter() - t0) / n_iters
+
+    @jax.jit
+    def run(eps, code, rays_o, rays_d, bitfield):
+        def body(i, acc):
+            return acc + render_sum(code + eps * i, rays_o, rays_d, bitfield)
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+    z = jnp.float32(0.0)
+    _ = float(run(z, code, rays_o, rays_d, bitfield))
+    dt = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(run(z, code, rays_o, rays_d, bitfield))
+        dt = min(dt, (time.perf_counter() - t0 - 0.030) / n_iters)
     total_rays = S * h * w
     rays_per_sec = total_rays / dt
 
@@ -105,17 +114,16 @@ def main():
             def sample(p, x, k):
                 out, _ = model.diffusion.sample_from_noise(
                     p, x, k, cfg=model.test_cfg)
-                return out
+                return jnp.asarray(out, jnp.float32).sum()
 
             k = jax.random.PRNGKey(1)
-            y = sample(p, x, k)
-            _ = float(jnp.asarray(y, jnp.float32).ravel()[0])
-            t0 = time.perf_counter()
+            _ = float(sample(p, x, k))
+            dt = float('inf')
             n_rep = 3
             for _i in range(n_rep):
-                y = sample(p, x, k)
-                _ = float(jnp.asarray(y, jnp.float32).ravel()[0])
-            dt = (time.perf_counter() - t0) / n_rep
+                t0 = time.perf_counter()
+                _ = float(sample(p, x, k))
+                dt = min(dt, time.perf_counter() - t0 - 0.030)
             tag = 'bf16' if autocast else 'f32'
             print(f'[bench] ddim full sampler ({tag}): '
                   f'{n_steps / dt:.1f} steps/s at batch {S} '

@@ -69,13 +69,10 @@ def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
 
     wb = p['base_net']['dense_0']['kernel']            # (3C, hidden)
     hidden = wb.shape[1]
-    # XLA-path feature column order is c*3 + plane (triplane_decoder.py:141)
-    wf = jnp.stack([
-        jnp.broadcast_to(
-            wb[jnp.asarray([c * 3 + pp for c in range(C)])].T[:, :, None],
-            (hidden, C, res)).reshape(hidden, C * res)
-        for pp in range(3)
-    ]).astype(jnp.bfloat16)                            # (3, hidden, C*res)
+    # XLA-path feature row order is c*3 + plane (triplane_decoder.py:141);
+    # the kernel's is p*C + c
+    perm = jnp.asarray([c * 3 + pp for pp in range(3) for c in range(C)])
+    wbt = wb[perm].T.astype(jnp.bfloat16)              # (hidden, 3C)
     bbt = p['base_net']['dense_0']['bias'][:, None]    # (hidden, 1)
     wd = p['density_net']['dense_0']['kernel']         # (hidden, 1)
     bd = p['density_net']['dense_0']['bias']
@@ -96,7 +93,7 @@ def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
                               preferred_element_type=jnp.float32)
                    + p['dir_net']['dense_0']['bias'])
     sig_raw, r_raw, g_raw, b_raw = pallas_ops.triplane_decode(
-        planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K, interpret)
+        planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, interpret)
     sigmas = trunc_exp(sig_raw)
     if density_only:
         return sigmas, None
@@ -281,6 +278,35 @@ def _volume_render_fused(decoder, params, code, rays_o, rays_d,
     return dict(weights_sum=weights_sum, depth=depth, image=image)
 
 
+def _density_points(decoder, params, code, xyzs, point_chunk=None):
+    """Density at arbitrary points, via the fused Pallas kernel when the
+    decoder/platform allow it (the XLA path materializes the fat hat
+    intermediate in HBM; the kernel keeps it in VMEM)."""
+    S, P = xyzs.shape[:2]
+    K = 64
+    mode = getattr(decoder, 'backend', 'auto')
+    fused = (mode != 'xla' and pallas_ops.decode_supported(decoder)
+             and P % 1024 == 0
+             and (jax.default_backend() in ('tpu', 'axon')
+                  or mode == 'pallas-interpret'))
+    if fused:
+        xyz = xyzs.reshape(S, P // K, K, 3)
+        sigmas, _ = _decode_fused(
+            decoder, params, code, xyz, jnp.zeros((S, P // K, 3)), K,
+            mode == 'pallas-interpret', density_only=True)
+        return sigmas.reshape(S, P)
+    if point_chunk is not None and (point_chunk >= P
+                                    or P % point_chunk != 0):
+        point_chunk = None
+    if point_chunk is None:
+        return decoder.apply(params, code, xyzs, density_only=True)[0]
+    xc = xyzs.reshape(S, P // point_chunk, point_chunk, 3)
+    sigmas = jax.lax.map(
+        lambda x: decoder.apply(params, code, x, density_only=True)[0],
+        jnp.moveaxis(xc, 1, 0))
+    return jnp.moveaxis(sigmas, 0, 1).reshape(S, P)
+
+
 def _decode_density_all_voxels(decoder, params, code, key, grid_size,
                                point_chunk=None):
     """Density at every voxel center (linear x,y,z order) with intra-voxel
@@ -300,19 +326,7 @@ def _decode_density_all_voxels(decoder, params, code, key, grid_size,
     xyzs = xyzs + jax.random.uniform(
         key, xyzs.shape, minval=-half_voxel, maxval=half_voxel)
     xyzs = jnp.broadcast_to(xyzs[None], (num_scenes, H ** 3, 3))
-    if point_chunk is not None and (point_chunk >= H ** 3
-                                    or H ** 3 % point_chunk != 0):
-        point_chunk = None
-    if point_chunk is None:
-        sigmas = decoder.apply(params, code, xyzs, density_only=True)[0]
-    else:
-        n_chunks = H ** 3 // point_chunk
-        xc = xyzs.reshape(num_scenes, n_chunks, point_chunk, 3)
-        sigmas = jax.lax.map(
-            lambda x: decoder.apply(params, code, x, density_only=True)[0],
-            jnp.moveaxis(xc, 1, 0))
-        sigmas = jnp.moveaxis(sigmas, 0, 1).reshape(num_scenes, H ** 3)
-    return sigmas
+    return _density_points(decoder, params, code, xyzs, point_chunk)
 
 
 def _ema_and_pack(density_grid, tmp, tmp_valid, decay, density_thresh):
@@ -401,17 +415,7 @@ def update_density_grid_partial(decoder, params, code, density_grid, key,
     half_voxel = decoder.bound / H
     xyzs = xyzs + jax.random.uniform(
         k_jit, xyzs.shape, minval=-half_voxel, maxval=half_voxel)
-    if point_chunk is not None and (point_chunk >= 2 * N
-                                    or (2 * N) % point_chunk != 0):
-        point_chunk = None
-    if point_chunk is None:
-        sigmas = decoder.apply(params, code, xyzs, density_only=True)[0]
-    else:
-        xc = xyzs.reshape(S, (2 * N) // point_chunk, point_chunk, 3)
-        sigmas = jax.lax.map(
-            lambda x: decoder.apply(params, code, x, density_only=True)[0],
-            jnp.moveaxis(xc, 1, 0))
-        sigmas = jnp.moveaxis(sigmas, 0, 1).reshape(S, 2 * N)
+    sigmas = _density_points(decoder, params, code, xyzs, point_chunk)
 
     tmp = jnp.full_like(density_grid, -1, dtype=jnp.float32)
     tmp = tmp.at[jnp.arange(S)[:, None], idx].max(sigmas)

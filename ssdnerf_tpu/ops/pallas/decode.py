@@ -7,16 +7,19 @@ single TPU kernel per (scene, sample-block):
 
 - Bilinear sampling is expressed with *hat-function weight rows* (the two
   bilinear taps are the only nonzeros of ``relu(1 - |w - fx|)``), turning
-  the plane lookup into (768, 128) @ (128, chunk) MXU matmuls whose fat
-  ``R`` intermediate never leaves VMEM.  The pure-XLA fallback
+  the x-axis plane lookup into (768, 128) @ (128, chunk) MXU matmuls whose
+  fat ``R1`` intermediate never leaves VMEM.  The pure-XLA fallback
   (ops/triplane_sample.py) materializes that intermediate in HBM — ~26 GB
   of traffic per full 128^2 render — which is exactly what this kernel
   removes.
-- The per-sample hat/Y reduction over the plane's second axis is folded
-  into the base-MLP matmul: with channel-major plane rows (c*res + h) and
-  the base kernel broadcast over h (``WBfold``), one (hidden, 768) @
-  (768, chunk) matmul performs both the Y-weighted reduction and the
-  base-net contraction.
+- The y-axis hat reduction is a *segmented tree sum*: ``R1 * Ytile``
+  reshaped (C, res, n) and summed over res.  All tree steps down to 8 rows
+  are whole-vreg adds, so the reduction costs ~1.5k VPU ops/sample versus
+  the ~147k-MAC half-MXU-utilization "folded base kernel" matmul it
+  replaces (the v1 design; the fold's 64-row output ran the MXU at 50%
+  and dominated the kernel's runtime).
+- The resulting 18 features feed the tiny base MLP as a (hidden, 18) @
+  (18, chunk) matmul, then density/color heads padded to 128 rows.
 - Everything per-sample lives with samples in the LANE dimension
   ((rows, chunk) arrays, transposed matmuls) — full VPU lane utilization;
   kernel I/O arrays are packed (rows, 1024) so the TPU's (8, 128) HBM
@@ -25,9 +28,11 @@ single TPU kernel per (scene, sample-block):
   kernel; inside, a ray-one-hot matmul broadcasts it to samples.
 - Backward is a second Pallas kernel (flash-attention style recompute):
   plane gradients are the transposed hat contractions — again MXU matmuls
-  — accumulated in VMEM across the sample blocks of each scene.  Sample
-  positions get no gradient (they do not depend on any parameter; the
-  reference's density-grid marching is equally detached).
+  — accumulated in VMEM across the sample blocks of each scene.  The
+  feature gradient ``d_f`` is broadcast back over the y-axis (the reverse
+  of the segmented sum), so no fat weight-gradient matmuls exist at all.
+  Sample positions get no gradient (they do not depend on any parameter;
+  the reference's density-grid marching is equally detached).
 
 Supported decoder shape: single-Dense base (3*C -> D), density (D -> 1),
 color (D -> 3) and dir (16 -> D) nets with SiLU — the shape every shipped
@@ -77,35 +82,51 @@ def _hats_t(coord, res):
     return jnp.maximum(1.0 - jnp.abs(row - f), 0.0)
 
 
-def _fwd_body(xk, yk, zk, planes_ref, dirt, wf_ref, bbt_ref,
-              w1t_ref, w2t_ref, *, res, C, hidden):
-    """Shared forward math on one (1, n) sample row."""
-    f32 = jnp.float32
-    bf16 = jnp.bfloat16
-    n = xk.shape[1]
+def _fres_rows(C):
+    """Feature-residual rows per sub: 3C padded up to a multiple of 8."""
+    return (3 * C + 7) // 8 * 8
+
+
+def _ysum(prod, C, res):
+    """Segmented sum over the res axis: (C*res, n) -> (C, n)."""
+    return jnp.sum(prod.reshape(C, res, prod.shape[-1]), axis=1)
+
+
+def _hat_pairs(xk, yk, zk, res):
     hx = _hats_t(xk, res)
     hy = _hats_t(yk, res)
     hz = _hats_t(zk, res)
-    pairs = ((hx, hy), (hx, hz), (hy, hz))
-    base_t = jnp.broadcast_to(bbt_ref[:, 0:1], (hidden, n)).astype(f32)
-    prods = []
+    return ((hx, hy), (hx, hz), (hy, hz))
+
+
+def _sample_feats(pairs, planes_ref, C, res):
+    """Per-sample bilinear features: (3C, n) bf16."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    feats = []
     for p in range(3):
         X, Y = pairs[p]
         M = planes_ref[0, p]                                  # (768, res)
         R1 = jax.lax.dot_general(M, X.astype(bf16), (((1,), (0,)), ((), ())),
                                  preferred_element_type=f32)  # (768, n)
         Ytile = jnp.concatenate([Y] * C, axis=0)              # (768, n)
-        prod = (R1 * Ytile).astype(bf16)
-        prods.append(prod)
-        base_t = base_t + jnp.dot(wf_ref[p], prod,
-                                  preferred_element_type=f32)
+        feats.append(_ysum(R1 * Ytile, C, res))               # (C, n)
+    return jnp.concatenate(feats, axis=0).astype(bf16)        # (3C, n)
+
+
+def _fwd_tail(fb, dirt, wbt_ref, bbt_ref, w1t_ref, w2t_ref):
+    """Base MLP + heads from bf16 features."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    base_t = (jnp.dot(wbt_ref[:], fb, preferred_element_type=f32)
+              + bbt_ref[:, 0:1])                              # (hidden, n)
     bx = _silu(base_t)
     cx = _silu(base_t + dirt)
     o1 = jnp.dot(w1t_ref[:], bx.astype(bf16),
                  preferred_element_type=f32)                  # (128, n)
     o2 = jnp.dot(w2t_ref[:], cx.astype(bf16),
                  preferred_element_type=f32)
-    return base_t, bx, cx, o1, o2, prods, pairs
+    return base_t, bx, cx, o1, o2
 
 
 def _ray_onehot_t(rpc, n, K, dtype):
@@ -114,9 +135,10 @@ def _ray_onehot_t(rpc, n, K, dtype):
     return (lane // K == row).astype(dtype)
 
 
-def _fwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
+def _fwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wbt_ref, bbt_ref,
                 b1_ref, b2_ref, w1t_ref, w2t_ref,
-                sig_ref, r_ref, g_ref, b_ref, *, K, subs, res, C, hidden):
+                sig_ref, r_ref, g_ref, b_ref, fres_ref,
+                *, K, subs, res, C, hidden):
     rpc = SUB // K
     oner = _ray_onehot_t(rpc, SUB, K, jnp.bfloat16)
 
@@ -127,9 +149,14 @@ def _fwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
         dob = dirout_ref[pl.ds(i * rpc, rpc), :].astype(jnp.bfloat16)
         dirt = jax.lax.dot_general(dob, oner, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-        _, _, _, o1, o2, _, _ = _fwd_body(
-            xk, yk, zk, planes_ref, dirt, wf_ref, bbt_ref, w1t_ref, w2t_ref,
-            res=res, C=C, hidden=hidden)
+        pairs = _hat_pairs(xk, yk, zk, res)
+        fb = _sample_feats(pairs, planes_ref, C, res)
+        # row group padded to a multiple of 8 (sublane alignment)
+        rows = _fres_rows(C)
+        fres_ref[pl.ds(i * rows, rows), :] = jnp.pad(
+            fb, ((0, rows - 3 * C), (0, 0)))
+        _, _, _, o1, o2 = _fwd_tail(fb, dirt, wbt_ref, bbt_ref, w1t_ref,
+                                    w2t_ref)
         sig_ref[pl.ds(i, 1), :] = o1[0:1, :] + b1_ref[0, 0]
         r_ref[pl.ds(i, 1), :] = o2[0:1, :] + b2_ref[0, 0]
         g_ref[pl.ds(i, 1), :] = o2[1:2, :] + b2_ref[0, 1]
@@ -139,10 +166,10 @@ def _fwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
     jax.lax.fori_loop(0, subs, body, 0)
 
 
-def _bwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
-                b1_ref, b2_ref, w1t_ref, w2t_ref,
+def _bwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wbt_ref, bbt_ref,
+                b1_ref, b2_ref, w1t_ref, w2t_ref, fres_ref,
                 gs_ref, gr_ref, gg_ref, gb_ref,
-                dplanes_ref, ddirout_ref, dwf_ref, dbbt_ref,
+                dplanes_ref, ddirout_ref, dwbt_ref, dbbt_ref,
                 dw1t_ref, db1_ref, dw2t_ref, db2_ref,
                 *, K, subs, res, C, hidden):
     f32 = jnp.float32
@@ -155,25 +182,28 @@ def _bwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
 
     oner = _ray_onehot_t(rpc, SUB, K, bf16)
     acc0 = (tuple(jnp.zeros((C * res, res), f32) for _ in range(3)),
-            tuple(jnp.zeros((hidden, C * res), f32) for _ in range(3)),
+            jnp.zeros((hidden, 3 * C), f32),
             jnp.zeros((128, hidden), f32), jnp.zeros((128, hidden), f32),
             jnp.zeros((1, 128), f32), jnp.zeros((1, 128), f32),
             jnp.zeros((hidden, 1), f32))
 
     def body(i, acc):
-        (acc_dplanes, acc_dwf, acc_dw1t, acc_dw2t, acc_db1, acc_db2,
+        (acc_dplanes, acc_dwbt, acc_dw1t, acc_dw2t, acc_db1, acc_db2,
          acc_dbbt) = acc
         acc_dplanes = list(acc_dplanes)
-        acc_dwf = list(acc_dwf)
         xk = x_ref[pl.ds(i, 1), :]
         yk = y_ref[pl.ds(i, 1), :]
         zk = z_ref[pl.ds(i, 1), :]
         dob = dirout_ref[pl.ds(i * rpc, rpc), :].astype(bf16)
         dirt = jax.lax.dot_general(dob, oner, (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32)
-        base_t, bx, cx, _, _, prods, pairs = _fwd_body(
-            xk, yk, zk, planes_ref, dirt, wf_ref, bbt_ref, w1t_ref, w2t_ref,
-            res=res, C=C, hidden=hidden)
+        # hats are recomputed (cheap VPU); the bf16 features come from the
+        # forward residual, skipping the three R1 matmuls entirely
+        pairs = _hat_pairs(xk, yk, zk, res)
+        rows = _fres_rows(C)
+        fb = fres_ref[pl.ds(i * rows, rows), :][:3 * C]
+        base_t, bx, cx, _, _ = _fwd_tail(fb, dirt, wbt_ref, bbt_ref,
+                                         w1t_ref, w2t_ref)
 
         gsr = gs_ref[pl.ds(i, 1), :]
         grr = gr_ref[pl.ds(i, 1), :]
@@ -211,28 +241,33 @@ def _bwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
                     + jnp.where(lane_r == 1, jnp.sum(ggr), 0.0)
                     + jnp.where(lane_r == 2, jnp.sum(gbr), 0.0))
         acc_dbbt += jnp.sum(d_base, axis=1, keepdims=True)
+        acc_dwbt += jax.lax.dot_general(d_base_b, fb,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=f32)
 
+        # d_f = wbt^T @ d_base, broadcast back over the y-hat axis
+        d_f = jax.lax.dot_general(wbt_ref[:], d_base_b,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)  # (3C, SUB)
         for p in range(3):
             X, Y = pairs[p]
             Ytile = jnp.concatenate([Y] * C, axis=0)
-            d_prod = jax.lax.dot_general(
-                wf_ref[p], d_base_b, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)                   # (768, SUB)
-            acc_dwf[p] = acc_dwf[p] + jax.lax.dot_general(
-                d_base_b, prods[p], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                   # (hidden, 768)
-            d_R1 = (d_prod * Ytile).astype(bf16)
+            d_fp = d_f[p * C:(p + 1) * C]                  # (C, SUB)
+            d_fb = jnp.broadcast_to(d_fp[:, None, :],
+                                    (C, res, SUB)).reshape(C * res, SUB)
+            d_R1 = (d_fb * Ytile).astype(bf16)
             acc_dplanes[p] = acc_dplanes[p] + jax.lax.dot_general(
                 d_R1, X.astype(bf16), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                   # (768, res)
-        return (tuple(acc_dplanes), tuple(acc_dwf), acc_dw1t, acc_dw2t,
+        return (tuple(acc_dplanes), acc_dwbt, acc_dw1t, acc_dw2t,
                 acc_db1, acc_db2, acc_dbbt)
 
-    (acc_dplanes, acc_dwf, acc_dw1t, acc_dw2t, acc_db1, acc_db2,
+    (acc_dplanes, acc_dwbt, acc_dw1t, acc_dw2t, acc_db1, acc_db2,
      acc_dbbt) = jax.lax.fori_loop(0, subs, body, acc0)
 
     @pl.when(is_first)
     def _():
+        dwbt_ref[:] = acc_dwbt
         dw1t_ref[:] = acc_dw1t
         dw2t_ref[:] = acc_dw2t
         db1_ref[:] = acc_db1
@@ -241,6 +276,7 @@ def _bwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
 
     @pl.when(jnp.logical_not(is_first))
     def _():
+        dwbt_ref[:] += acc_dwbt
         dw1t_ref[:] += acc_dw1t
         dw2t_ref[:] += acc_dw2t
         db1_ref[:] += acc_db1
@@ -248,14 +284,6 @@ def _bwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wf_ref, bbt_ref,
         dbbt_ref[:] += acc_dbbt
 
     for p in range(3):
-        @pl.when(is_first)
-        def _(p=p):
-            dwf_ref[p] = acc_dwf[p]
-
-        @pl.when(jnp.logical_not(is_first))
-        def _(p=p):
-            dwf_ref[p] += acc_dwf[p]
-
         @pl.when(c_id == 0)
         def _(p=p):
             dplanes_ref[0, p] = acc_dplanes[p]
@@ -279,7 +307,7 @@ def _shapes(planes, x, K):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
-def triplane_decode(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t,
+def triplane_decode(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t,
                     K, interpret=False):
     """Fused triplane decode.
 
@@ -290,9 +318,9 @@ def triplane_decode(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t,
         x, y, z: (S, R, K) f32 per-sample coords in [-1, 1], ray-major.
         dir_out: (S, R, hidden) f32 per-ray direction-branch outputs
             (``sh_encode(dirs) @ W_dir + b_dir``).
-        wf: (3, hidden, C*res) bf16 folded base kernel:
-            ``wf[p, o, c*res + h] = wb[c*3 + p, o]`` (base kernel rows
-            broadcast over h).
+        wbt: (hidden, 3*C) bf16 base kernel, feature column order p*C + c
+            (``wbt[o, p*C + c] = wb[c*3 + p, o]`` — the XLA path's feature
+            order is c*3 + p, triplane_decoder.py:141).
         bbt: (hidden, 1) base bias (transposed).  b1, b2: (1, 128) padded
             density/color biases (cols 0 / 0:3 used).
         w1t: (128, hidden) bf16, row 0 = density kernel (transposed).
@@ -303,7 +331,7 @@ def triplane_decode(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t,
         (sigma_raw, r_raw, g_raw, b_raw) each (S, R, K) f32
         (pre-trunc_exp / pre-sigmoid).
     """
-    out, _ = _fwd(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K,
+    out, _ = _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K,
                   interpret)
     return out
 
@@ -315,7 +343,7 @@ def _specs(S, G, subs, K, res, C, hidden):
         packed, packed, packed,
         pl.BlockSpec((1, 3, C * res, res), lambda s, c: (s, 0, 0, 0)),
         pl.BlockSpec((subs * rpc, hidden), lambda s, c: (s * G + c, 0)),
-        pl.BlockSpec((3, hidden, C * res), lambda s, c: (0, 0, 0)),
+        pl.BlockSpec((hidden, 3 * C), lambda s, c: (0, 0)),
         pl.BlockSpec((hidden, 1), lambda s, c: (0, 0)),
         pl.BlockSpec((1, 128), lambda s, c: (0, 0)),
         pl.BlockSpec((1, 128), lambda s, c: (0, 0)),
@@ -328,36 +356,42 @@ def _pack(a, S, N):
     return a.reshape(S * N // SUB, SUB)
 
 
-def _fwd(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K, interpret):
+def _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, interpret):
     S, C, res, R, N, subs = _shapes(planes, x, K)
-    hidden = wf.shape[1]
+    hidden = wbt.shape[0]
     G = N // (SUB * subs)
     packed, in_specs = _specs(S, G, subs, K, res, C, hidden)
     dir_f = dir_out.reshape(S * R, hidden)
     out_shape = jax.ShapeDtypeStruct((S * N // SUB, SUB), jnp.float32)
+    fr = _fres_rows(C)
+    fres_spec = pl.BlockSpec((subs * fr, SUB), lambda s, c: (s * G + c, 0))
+    fres_shape = jax.ShapeDtypeStruct((S * N // SUB * fr, SUB),
+                                      jnp.bfloat16)
 
-    outs = pl.pallas_call(
+    *outs, fres = pl.pallas_call(
         functools.partial(_fwd_kernel, K=K, subs=subs, res=res, C=C,
                           hidden=hidden),
         grid=(S, G),
         in_specs=in_specs,
-        out_specs=[packed] * 4,
-        out_shape=[out_shape] * 4,
+        out_specs=[packed] * 4 + [fres_spec],
+        out_shape=[out_shape] * 4 + [fres_shape],
         interpret=interpret,
     )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N), planes, dir_f,
-      wf, bbt, b1, b2, w1t, w2t)
+      wbt, bbt, b1, b2, w1t, w2t)
     outs = tuple(o.reshape(S, R, K) for o in outs)
-    return outs, (planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t)
+    return outs, (planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, fres)
 
 
 def _bwd(K, interpret, residuals, g):
-    planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t = residuals
+    planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, fres = residuals
     gs, gr, gg, gb = g
     S, C, res, R, N, subs = _shapes(planes, x, K)
-    hidden = wf.shape[1]
+    hidden = wbt.shape[0]
     G = N // (SUB * subs)
     rpc = SUB // K
     packed, in_specs = _specs(S, G, subs, K, res, C, hidden)
+    fr = _fres_rows(C)
+    fres_spec = pl.BlockSpec((subs * fr, SUB), lambda s, c: (s * G + c, 0))
     dir_f = dir_out.reshape(S * R, hidden)
     const = lambda shape: pl.BlockSpec(shape, lambda s, c: tuple(
         0 for _ in shape))
@@ -366,11 +400,11 @@ def _bwd(K, interpret, residuals, g):
         functools.partial(_bwd_kernel, K=K, subs=subs, res=res, C=C,
                           hidden=hidden),
         grid=(S, G),
-        in_specs=in_specs + [packed] * 4,
+        in_specs=in_specs + [fres_spec] + [packed] * 4,
         out_specs=[
             pl.BlockSpec((1, 3, C * res, res), lambda s, c: (s, 0, 0, 0)),
             pl.BlockSpec((subs * rpc, hidden), lambda s, c: (s * G + c, 0)),
-            const((3, hidden, C * res)),
+            const((hidden, 3 * C)),
             const((hidden, 1)),
             const((128, hidden)),
             const((1, 128)),
@@ -380,7 +414,7 @@ def _bwd(K, interpret, residuals, g):
         out_shape=[
             jax.ShapeDtypeStruct((S, 3, C * res, res), jnp.float32),
             jax.ShapeDtypeStruct((S * R, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((3, hidden, C * res), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((hidden, 1), jnp.float32),
             jax.ShapeDtypeStruct((128, hidden), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
@@ -389,17 +423,17 @@ def _bwd(K, interpret, residuals, g):
         ],
         interpret=interpret,
     )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N), planes, dir_f,
-      wf, bbt, b1, b2, w1t, w2t,
+      wbt, bbt, b1, b2, w1t, w2t, fres,
       _pack(gs, S, N), _pack(gr, S, N), _pack(gg, S, N), _pack(gb, S, N))
-    dplanes, ddir, dwf, dbbt, dw1t, db1, dw2t, db2 = outs
+    dplanes, ddir, dwbt, dbbt, dw1t, db1, dw2t, db2 = outs
     return (dplanes.astype(planes.dtype), None, None, None,
-            ddir.reshape(S, R, hidden), dwf.astype(wf.dtype), dbbt, db1, db2,
-            dw1t.astype(w1t.dtype), dw2t.astype(w2t.dtype))
+            ddir.reshape(S, R, hidden), dwbt.astype(wbt.dtype), dbbt, db1,
+            db2, dw1t.astype(w1t.dtype), dw2t.astype(w2t.dtype))
 
 
-def _fwd_rule(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K,
+def _fwd_rule(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K,
               interpret):
-    return _fwd(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K,
+    return _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K,
                 interpret)
 
 
@@ -409,7 +443,7 @@ triplane_decode.defvjp(_fwd_rule, _bwd)
 # --------------------------------------------------------------------- #
 # pure-jnp reference (oracle for tests)
 # --------------------------------------------------------------------- #
-def decode_reference(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K):
+def decode_reference(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K):
     """Same math as the kernel, in plain jnp (f32 hats, bf16 matmul
     operands, f32 accumulation) — the test oracle."""
     S, _, F768, res = planes.shape
@@ -426,16 +460,18 @@ def decode_reference(planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, K):
     zs = z.reshape(S, R * K)
     hx, hy, hz = hat(xs), hat(ys), hat(zs)      # (S, N, res)
     pairs = ((hx, hy), (hx, hz), (hy, hz))
-    base = jnp.zeros((S, R * K, wf.shape[1]), jnp.float32) + bbt[:, 0]
+    feats = []
     for p in range(3):
         X, Y = pairs[p]
         R1 = jnp.einsum('sfw,snw->snf', planes[:, p].astype(jnp.bfloat16),
                         X.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)  # (S,N,768)
         Ytile = jnp.tile(Y, (1, 1, C))
-        prod = (R1 * Ytile).astype(jnp.bfloat16)
-        base = base + jnp.einsum('hf,snf->snh', wf[p], prod,
-                                 preferred_element_type=jnp.float32)
+        prod = R1 * Ytile
+        feats.append(prod.reshape(S, R * K, C, res).sum(-1))  # (S, N, C)
+    f = jnp.concatenate(feats, axis=-1)                       # (S, N, 3C)
+    base = jnp.einsum('hf,snf->snh', wbt, f.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + bbt[:, 0]
     bx = _silu(base)
     dir_s = jnp.repeat(dir_out, K, axis=1)
     cx = _silu(base + dir_s)

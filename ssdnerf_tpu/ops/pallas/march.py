@@ -4,23 +4,28 @@ Replaces the dense bitfield byte-gather of ops/marching.py (33.5M XLA
 gathers at ~10 ns each for a full 128^2 render — the round-1 profile's
 single largest cost) with an MXU formulation of the exact voxel test:
 
-The Morton bitfield is reorganized once per render into a *byte table*
+The bitfield is reorganized once per render into a *byte table*
 ``G[y, x*8 + zb] = sum_j occ(x, y, zb*8+j) * 2^j`` (values 0..255 — exact
 in bf16).  Per sample, a one-hot over the joint (x, zb) index turns the
 table lookup into one (64, 512) @ (512, chunk) MXU matmul; the y row is
 selected with a 64-row compare-mask-reduce and the z bit extracted with
-exp2/floor arithmetic.  Everything stays in VMEM; the kernel reads only
-per-ray data and writes one validity flag per sample.
+exp2/floor arithmetic.
 
-Layout note: ALL per-sample quantities live as (1, chunk) / (rows, chunk)
-arrays — samples in the 128-wide lane dimension — so every VPU op runs at
-full lane utilization and kernel outputs are (rays, steps)-shaped (no
-narrow trailing dims, which the TPU's (8, 128) HBM tiling would pad 128x).
+Division of labor (v2): everything *per-ray* and *per-sample-scalar* —
+the closed-form t grid, ray positions, voxel quantization, far clip —
+runs in XLA, fused and fully dense, and reaches the kernel as ONE packed
+int32 per sample (``(xzb << 9) | (iy << 3) | jbit``, negative = past
+far).  The kernel does only what XLA cannot: the gather, expressed as
+one-hot MXU matmuls.  The first kernel version recomputed t/coords
+in-kernel from per-ray SMEM rows; profiling showed those (1, 1024)-shaped
+VPU ops run at 1/8 sublane utilization and cost 4x the occupancy matmul
+itself.
 
 Semantics match ``kernel_march_rays_train``'s occupancy test
-(/root/reference/lib/ops/raymarching/src/raymarching.cu:311-492) exactly:
-same t-recurrence (closed form), same voxel quantization, same Morton bit
-order (converted losslessly by ``occupancy_table``).
+(/root/reference/lib/ops/raymarching/src/raymarching.cu:311-492): same
+t-recurrence (closed form, shared with the XLA path's ``t_at_step``, so
+fused and fallback paths agree bit-for-bit), same voxel quantization,
+same linear bit order (converted losslessly by ``occupancy_table``).
 """
 import functools
 
@@ -30,10 +35,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..marching import SQRT3
+from ..marching import SQRT3, t_at_step
 
 SUB = 1024
-SUBS_PER_CHUNK = 8
+SUBS_PER_CHUNK = 32
 
 
 def march_supported(grid_size):
@@ -61,73 +66,38 @@ def occupancy_table(density_bitfield, grid_size=64):
     return bytes_.reshape(lead + (H, H * 8)).astype(jnp.bfloat16)
 
 
-def _t_closed_form(t0, k, g, dt_min, dt_max):
-    """Closed-form marching recurrence (ops/marching.py:t_sequence)."""
-    g = jnp.maximum(g, 0.0)
-    g_safe = jnp.maximum(g, 1e-12)
-    A = dt_min / g_safe
-    B = dt_max / g_safe
-    log1pg = jnp.log1p(g_safe)
-    n1 = jnp.ceil(jnp.maximum(A - t0, 0.0) / dt_min)
-    t1 = t0 + n1 * dt_min
-    n2 = jnp.ceil(jnp.maximum(jnp.log(B / jnp.maximum(t1, 1e-12)), 0.0)
-                  / log1pg)
-    t2 = t1 * jnp.exp(n2 * log1pg)
-    t_lin1 = t0 + k * dt_min
-    t_geo = t1 * jnp.exp((k - n1) * log1pg)
-    t_lin2 = t2 + (k - n1 - n2) * dt_max
-    ts = jnp.where(k < n1, t_lin1, jnp.where(k < n1 + n2, t_geo, t_lin2))
-    return jnp.where(g > 0, ts, t_lin1)
-
-
-def _march_kernel(rays_ref, gt_ref, dg_ref, out_ref, *, T, H, bound,
-                  dt_min, dt_max, chunk, sub):
+def _march_kernel(ji_ref, gt_ref, out_ref, xzb_ref, iy_ref, *, H, n_sub,
+                  sub):
     f32 = jnp.float32
     bf16 = jnp.bfloat16
-    rays_per_sub = sub // T
-    n_sub = chunk // sub
-    mip_bound = min(1.0, float(bound))
-    gamma = dg_ref[pl.program_id(0), 0]
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
-    k = (lane % T).astype(f32)
-    ridx = lane // T
     row512 = jax.lax.broadcasted_iota(jnp.int32, (H * 8, sub), 0)
-    row64 = jax.lax.broadcasted_iota(jnp.int32, (H, sub), 0).astype(f32)
+    row64 = jax.lax.broadcasted_iota(jnp.int32, (H, sub), 0)
     gt = gt_ref[0].astype(bf16)                           # (H, H*8)
 
-    for s_i in range(n_sub):
-        row0 = s_i * rays_per_sub
-        # broadcast per-ray packed values to samples (samples in lanes)
-        q = [jnp.zeros((1, sub), f32) for _ in range(8)]
-        for r in range(rays_per_sub):
-            m = (ridx == r).astype(f32)
-            for j in range(8):
-                q[j] = q[j] + m * rays_ref[row0 + r, j]
-        ox, oy, oz, dx, dy, dz, t0, far = q
-        t = _t_closed_form(t0, k, gamma, dt_min, dt_max)
-        x = jnp.clip(ox + t * dx, -bound, bound)
-        y = jnp.clip(oy + t * dy, -bound, bound)
-        z = jnp.clip(oz + t * dz, -bound, bound)
-        scale = 0.5 * H / mip_bound
+    # dense unpack of the packed per-sample indices (through scratch refs
+    # so the per-sub loop can dynamic-slice rows)
+    ji = ji_ref[...]                                      # (n_sub, sub) i32
+    live = ji >= 0
+    jc = jnp.where(live, ji, 0)
+    xzb_ref[...] = jc >> 9
+    iy_ref[...] = (jc >> 3) & (H - 1)
+    jbit = (jc & 7).astype(f32)
 
-        def vox(c):
-            return jnp.clip(jnp.floor((c + mip_bound) * scale), 0.0, H - 1.0)
-
-        ix, iy, iz = vox(x), vox(y), vox(z)
-        izb = jnp.floor(iz / 8.0)
-        jbit = iz - izb * 8.0
-        # joint one-hot over (x, zb): row index x*8 + zb
-        xzb = (ix * 8.0 + izb).astype(jnp.int32)
-        onehot = (row512 == xzb).astype(bf16)              # (512, sub)
-        U = jax.lax.dot_general(gt, onehot, (((1,), (0,)), ((), ())),
+    def body(i, _):
+        oh = (row512 == xzb_ref[pl.ds(i, 1), :]).astype(bf16)  # (512, sub)
+        U = jax.lax.dot_general(gt, oh, (((1,), (0,)), ((), ())),
                                 preferred_element_type=f32)  # (64, sub)
-        sel = (row64 == iy).astype(f32)
-        byte = jnp.sum(U * sel, axis=0, keepdims=True)     # (1, sub)
-        shifted = jnp.floor(byte * jnp.exp2(-jbit))
-        occ = shifted - 2.0 * jnp.floor(shifted * 0.5)
-        valid = occ * (t < far).astype(f32)
-        out_ref[s_i:s_i + 1, :] = valid
+        sel = (row64 == iy_ref[pl.ds(i, 1), :]).astype(f32)
+        out_ref[pl.ds(i, 1), :] = jnp.sum(U * sel, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, n_sub, body, 0)
+
+    # dense bit extraction from the gathered bytes
+    byte = out_ref[...]                                   # (n_sub, sub) f32
+    shifted = jnp.floor(byte * jnp.exp2(-jbit))
+    occ = shifted - 2.0 * jnp.floor(shifted * 0.5)
+    out_ref[...] = jnp.where(live, occ, 0.0)
 
 
 def march_valid_mask(rays_pack, table, dt_gamma, *, T, grid_size, bound,
@@ -151,31 +121,48 @@ def march_valid_mask(rays_pack, table, dt_gamma, *, T, grid_size, bound,
     dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 / H
     assert SUB % T == 0, (T,)
+    mip_bound = min(1.0, float(bound))
+
+    dt_gamma = jnp.broadcast_to(jnp.asarray(dt_gamma, jnp.float32), (S,))
+    t0 = rays_pack[..., 6]
+    far = rays_pack[..., 7]
+    k = jnp.arange(T, dtype=jnp.float32)
+    t = t_at_step(t0, k, dt_gamma[:, None, None],
+                  dt_min, dt_max)                          # (S, R, T)
+
+    # voxelization written exactly as in ops/marching.py:march_rays so the
+    # fused and XLA paths agree bit-for-bit; per-component (S, R, T) arrays
+    # (a trailing xyz dim of 3 would get 42x lane padding under the TPU's
+    # (8, 128) tiling)
+    def voxel(c):
+        x = jnp.clip(rays_pack[..., None, c] + t * rays_pack[..., None, 3 + c],
+                     -bound, bound)
+        return jnp.clip((0.5 * (x / mip_bound + 1.0) * H).astype(jnp.int32),
+                        0, H - 1)
+
+    ix, iy, iz = voxel(0), voxel(1), voxel(2)
+    ji = ((((ix << 3) | (iz >> 3)) << 6) | iy) << 3 | (iz & 7)
+    ji = jnp.where(t < far[..., None], ji, -1)             # (S, R, T) i32
 
     chunk = SUB * SUBS_PER_CHUNK
     while N % chunk != 0 and chunk > SUB:
         chunk //= 2
     chunk = min(chunk, N)
     assert N % chunk == 0, (N, chunk)
-    sub = SUB
-    rays_per_chunk = chunk // T
+    n_sub = chunk // SUB
     Cg = N // chunk
-    rays_f = rays_pack.reshape(S * R, 8)
-    dg = dt_gamma.reshape(S, 1).astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_march_kernel, T=T, H=H, bound=float(bound),
-                          dt_min=dt_min, dt_max=dt_max, chunk=chunk, sub=sub),
+        functools.partial(_march_kernel, H=H, n_sub=n_sub, sub=SUB),
         grid=(S, Cg),
         in_specs=[
-            pl.BlockSpec((rays_per_chunk, 8), lambda s, c: (s * Cg + c, 0)),
+            pl.BlockSpec((n_sub, SUB), lambda s, c: (s * Cg + c, 0)),
             pl.BlockSpec((1, H, H * 8), lambda s, c: (s, 0, 0)),
-            pl.BlockSpec((S, 1), lambda s, c: (0, 0),
-                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((chunk // SUB, SUB),
-                               lambda s, c: (s * Cg + c, 0)),
+        out_specs=pl.BlockSpec((n_sub, SUB), lambda s, c: (s * Cg + c, 0)),
         out_shape=jax.ShapeDtypeStruct((S * N // SUB, SUB), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_sub, SUB), jnp.int32),
+                        pltpu.VMEM((n_sub, SUB), jnp.int32)],
         interpret=interpret,
-    )(rays_f, table, dg)
+    )(ji.reshape(S * N // SUB, SUB), table)
     return out.reshape(S, R, T)

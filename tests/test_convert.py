@@ -59,10 +59,23 @@ def _torch_style_from_flax(params, unet_cfg):
         if 'shortcut' in sub:
             conv(prefix + 'shortcut', sub['shortcut'])
 
+    def qkv_to_mmgen(a):
+        """Inverse of convert_checkpoint._qkv_permute: our out-channel
+        layout (groups, 3, nh, hd) -> mmgen's (groups, nh, 3, hd)."""
+        groups = unet_cfg.get('groups', 1)
+        num_heads = unet_cfg.get('num_heads', 4)
+        out_ch = a.shape[0]
+        hd = out_ch // groups // (3 * num_heads)
+        a = a.reshape((groups, 3, num_heads, hd) + a.shape[1:])
+        a = np.moveaxis(a, 1, 2)
+        return a.reshape((out_ch,) + a.shape[4:])
+
     def attn(prefix, name):
         sub = p[name]
         norm(prefix + 'norm', sub['norm'])
-        conv1d(prefix + 'qkv', sub['qkv'])
+        w = np.transpose(np.asarray(sub['qkv']['kernel']), (2, 1, 0))
+        src[prefix + 'qkv.weight'] = qkv_to_mmgen(w)
+        src[prefix + 'qkv.bias'] = qkv_to_mmgen(np.asarray(sub['qkv']['bias']))
         conv1d(prefix + 'proj', sub['proj'])
 
     lin('time_embedding.blocks.0', p['time_embedding']['dense_0'])

@@ -75,9 +75,9 @@ def _decode_inputs(seed=0, S=2, R=16, K=64, res=128, C=6, hidden=64):
                for _ in range(3))
     dir_out = jnp.asarray(rng.randn(S, R, hidden).astype(np.float32)) * 0.3
     wb = rng.randn(3, hidden, C).astype(np.float32) * 0.2
-    wf = jnp.asarray(np.broadcast_to(wb[:, :, :, None],
-                                     (3, hidden, C, res)).reshape(
-        3, hidden, C * res)).astype(jnp.bfloat16)
+    # kernel base-weight layout: (hidden, 3C) with columns p*C + c
+    wf = jnp.asarray(wb.transpose(1, 0, 2).reshape(hidden, 3 * C)
+                     ).astype(jnp.bfloat16)
     bbt = jnp.asarray(rng.randn(hidden, 1).astype(np.float32)) * 0.1
     w1t = np.zeros((128, hidden), np.float32)
     w1t[0] = rng.randn(hidden) * 0.3

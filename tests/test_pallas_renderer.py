@@ -81,3 +81,27 @@ def test_fused_renderer_grads_match_xla():
     flat_p = jax.tree_util.tree_leaves_with_path(gp_p)
     for (path_x, lx), (_, lp) in zip(flat_x, flat_p):
         cmp(lp, lx, jax.tree_util.keystr(path_x))
+
+
+def test_fused_density_update_matches_xla():
+    """update_density_grid routes density-only decodes through the fused
+    kernel; same key => same jittered points => near-identical grids."""
+    from ssdnerf_tpu.models.decoders.renderer import update_density_grid
+    code, _, _, _ = _scene(seed=4)
+    dec_x = TriPlaneDecoder(backend='xla', compact_steps=64)
+    params = dec_x.init(jax.random.PRNGKey(1), code[:1],
+                        jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+    dec_p = TriPlaneDecoder(backend='pallas-interpret', compact_steps=64)
+    grid0 = jnp.zeros((2, 64 ** 3), jnp.float16)
+    key = jax.random.PRNGKey(9)
+    gx, bx, mx = update_density_grid(dec_x, params, code, grid0, key, 64)
+    gp, bp, mp = update_density_grid(dec_p, params, code, grid0, key, 64)
+    gx = np.asarray(gx, np.float32)
+    gp = np.asarray(gp, np.float32)
+    # bf16 matmul noise can flip threshold-adjacent bits; demand near-total
+    # agreement of the bitfield and close densities
+    bit_mismatch = np.mean(np.unpackbits(np.asarray(bx))
+                           != np.unpackbits(np.asarray(bp)))
+    assert bit_mismatch < 2e-3, bit_mismatch
+    np.testing.assert_allclose(mp, mx, rtol=2e-2)
+    np.testing.assert_allclose(gp, gx, atol=0.15 * max(1.0, gx.max()))
