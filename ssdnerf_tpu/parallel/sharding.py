@@ -84,3 +84,36 @@ def make_parallel_train_step(model, txs, mesh, axis_name='data'):
                        donate_argnums=(0, 1))
 
     return compile_for
+
+
+def sharded_volume_render(decoder, params, code, rays_o, rays_d,
+                          density_bitfield, grid_size, mesh,
+                          axis_name='data', **render_kwargs):
+    """Render with the RAY axis sharded over the device mesh.
+
+    Beyond-parity scaling (the reference only data-parallelizes over
+    scenes): rays are embarrassingly parallel, so a single large render —
+    eval-time novel views, GUI frames, video export — splits its ray axis
+    across all chips with zero collectives; params, codes and bitfields
+    are replicated.  Runs the same ``volume_render`` (fused Pallas path on
+    TPU) per shard via ``shard_map``.
+
+    Args:
+        rays_o, rays_d: (S, N, 3) with N divisible by the mesh size.
+    Returns:
+        volume_render's dict, each entry sharded (S, N, ...) on axis 1.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from ..models.decoders.renderer import volume_render
+
+    def fn(code, ro, rd, bf):
+        return volume_render(decoder, params, code, ro, rd, bf, grid_size,
+                             **render_kwargs)
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P(None, axis_name), P()),
+        out_specs=P(None, axis_name),
+        check_rep=False,
+    )(code, rays_o, rays_d, density_bitfield)

@@ -152,3 +152,38 @@ def test_device_cache_mesh_sharding_roundtrip():
     out2 = cache2.load(ids)
     np.testing.assert_allclose(np.asarray(out2['code_']), np.asarray(code),
                                atol=1e-6)
+
+
+def test_sharded_volume_render_matches_single_device():
+    """Ray-axis sharding over the mesh: identical output to unsharded."""
+    import jax.numpy as jnp
+    from ssdnerf_tpu.models import TriPlaneDecoder
+    from ssdnerf_tpu.models.decoders.renderer import volume_render
+    from ssdnerf_tpu.parallel.sharding import (make_mesh,
+                                               sharded_volume_render)
+    from ssdnerf_tpu.ops import packbits
+
+    rng = np.random.RandomState(0)
+    S, N, grid = 2, 256, 64
+    code = 0.3 * jnp.asarray(rng.randn(S, 3, 6, 128, 128).astype(np.float32))
+    occ = (rng.rand(S, grid ** 3) < 0.3).astype(np.float32)
+    bitfield = packbits(jnp.asarray(occ), 0.5)
+    o = rng.randn(S, N, 3).astype(np.float32) * 0.2
+    o[..., 2] += 2.2
+    d = -o + rng.randn(S, N, 3).astype(np.float32) * 0.3
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    dec = TriPlaneDecoder()
+    params = dec.init(jax.random.PRNGKey(1), code[:1], jnp.zeros((1, 8, 3)),
+                      jnp.zeros((1, 8, 3)))
+    mesh = make_mesh(8)
+
+    ref = volume_render(dec, params, code, o, d, bitfield, grid)
+    out = sharded_volume_render(dec, params, code, o, d, bitfield, grid,
+                                mesh)
+    # per-shard matmul shapes differ from the monolithic ones, so bf16
+    # accumulation order differs slightly
+    for k in ('weights_sum', 'depth', 'image'):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=2e-3, err_msg=k)

@@ -4,9 +4,13 @@
 Equivalent of /root/reference/tools/inception_stat.py:26-128: renders/loads
 the real eval images for a dataset config, extracts Inception features and
 writes the ``{mean, cov, feats_np}`` pickle consumed by the FID/FIDKID
-metrics.  Requires the torch-scripted StyleGAN Inception network at
+metrics.  Uses the torch-scripted StyleGAN Inception network at
 ``--inception-path`` (the same inception-2015-12-05.pt file the reference
-uses) since torchvision is not bundled.
+uses) when present; otherwise the JAX-native InceptionV3
+(core/evaluation/feature_nets.py — converted weights via
+tools/convert_vision_nets.py, or seeded substitute weights, which are
+self-consistent between real and fake passes but not comparable to
+published FID numbers).
 """
 import argparse
 import os
@@ -32,13 +36,20 @@ def main():
 
     from ssdnerf_tpu.config import Config
     from ssdnerf_tpu.data.builder import build_dataset
-    from ssdnerf_tpu.core.evaluation.fid import _torchscript_inception
 
     cfg = Config.fromfile(args.config)
     ds_cfg = dict(cfg.data[args.data])
     ds_cfg['load_imgs'] = True
     dataset = build_dataset(ds_cfg)
-    extractor = _torchscript_inception(args.inception_path)
+    if os.path.exists(args.inception_path):
+        from ssdnerf_tpu.core.evaluation.fid import _torchscript_inception
+        extractor = _torchscript_inception(args.inception_path)
+    else:
+        from ssdnerf_tpu.core.evaluation.feature_nets import \
+            make_inception_extractor
+        print(f'{args.inception_path} absent -> JAX-native InceptionV3',
+              flush=True)
+        extractor = make_inception_extractor()
 
     feats = []
     count = 0
