@@ -42,7 +42,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 SUB = 1024
@@ -137,7 +136,7 @@ def _ray_onehot_t(rpc, n, K, dtype):
 
 def _fwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wbt_ref, bbt_ref,
                 b1_ref, b2_ref, w1t_ref, w2t_ref,
-                sig_ref, r_ref, g_ref, b_ref, fres_ref,
+                sig_ref, r_ref, g_ref, b_ref, fres_ref=None,
                 *, K, subs, res, C, hidden):
     rpc = SUB // K
     oner = _ray_onehot_t(rpc, SUB, K, jnp.bfloat16)
@@ -151,10 +150,11 @@ def _fwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wbt_ref, bbt_ref,
                                    preferred_element_type=jnp.float32)
         pairs = _hat_pairs(xk, yk, zk, res)
         fb = _sample_feats(pairs, planes_ref, C, res)
-        # row group padded to a multiple of 8 (sublane alignment)
-        rows = _fres_rows(C)
-        fres_ref[pl.ds(i * rows, rows), :] = jnp.pad(
-            fb, ((0, rows - 3 * C), (0, 0)))
+        if fres_ref is not None:
+            # row group padded to a multiple of 8 (sublane alignment)
+            rows = _fres_rows(C)
+            fres_ref[pl.ds(i * rows, rows), :] = jnp.pad(
+                fb, ((0, rows - 3 * C), (0, 0)))
         _, _, _, o1, o2 = _fwd_tail(fb, dirt, wbt_ref, bbt_ref, w1t_ref,
                                     w2t_ref)
         sig_ref[pl.ds(i, 1), :] = o1[0:1, :] + b1_ref[0, 0]
@@ -331,8 +331,9 @@ def triplane_decode(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t,
         (sigma_raw, r_raw, g_raw, b_raw) each (S, R, K) f32
         (pre-trunc_exp / pre-sigmoid).
     """
+    # undifferentiated call: skip the backward feature residual entirely
     out, _ = _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K,
-                  interpret)
+                  interpret, with_residual=False)
     return out
 
 
@@ -356,7 +357,8 @@ def _pack(a, S, N):
     return a.reshape(S * N // SUB, SUB)
 
 
-def _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, interpret):
+def _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, interpret,
+         with_residual=True):
     S, C, res, R, N, subs = _shapes(planes, x, K)
     hidden = wbt.shape[0]
     G = N // (SUB * subs)
@@ -367,18 +369,20 @@ def _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, interpret):
     fres_spec = pl.BlockSpec((subs * fr, SUB), lambda s, c: (s * G + c, 0))
     fres_shape = jax.ShapeDtypeStruct((S * N // SUB * fr, SUB),
                                       jnp.bfloat16)
+    n_res = 1 if with_residual else 0
 
-    *outs, fres = pl.pallas_call(
+    res_list = pl.pallas_call(
         functools.partial(_fwd_kernel, K=K, subs=subs, res=res, C=C,
                           hidden=hidden),
         grid=(S, G),
         in_specs=in_specs,
-        out_specs=[packed] * 4 + [fres_spec],
-        out_shape=[out_shape] * 4 + [fres_shape],
+        out_specs=[packed] * 4 + [fres_spec] * n_res,
+        out_shape=[out_shape] * 4 + [fres_shape] * n_res,
         interpret=interpret,
     )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N), planes, dir_f,
       wbt, bbt, b1, b2, w1t, w2t)
-    outs = tuple(o.reshape(S, R, K) for o in outs)
+    outs = tuple(o.reshape(S, R, K) for o in res_list[:4])
+    fres = res_list[4] if with_residual else None
     return outs, (planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, fres)
 
 
