@@ -43,10 +43,13 @@ def _resolve_backend(decoder, num_rays, compact_steps, grid_size):
 
 
 def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
-                  deterministic=True, dropout_key=None, density_only=False):
+                  deterministic=True, dropout_key=None, density_only=False,
+                  rid=None, rpc=None):
     """Fused triplane decode: prep params/planes, call the Pallas kernel.
 
-    xyz: (S, R, K, 3) sample coords; rays_d: (S, R, 3).
+    xyz: (S, R, K, 3) sample coords; rays_d: (S, R_rays, 3) with
+    R_rays = R (dense layout, rid None) or R*K*rpc/1024 (packed layout —
+    rid gives each sample's local ray id, ops/packing.py).
     Returns sigmas (S, R, K) and rgbs (S, R, K, 3) (None if density_only).
     """
     p = params['params']
@@ -93,7 +96,8 @@ def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
                               preferred_element_type=jnp.float32)
                    + p['dir_net']['dense_0']['bias'])
     sig_raw, r_raw, g_raw, b_raw = pallas_ops.triplane_decode(
-        planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, interpret)
+        planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, rpc,
+        interpret)
     sigmas = trunc_exp(sig_raw)
     if density_only:
         return sigmas, None
@@ -169,7 +173,7 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
     compact_steps = getattr(decoder, 'compact_steps', None)
     backend = _resolve_backend(decoder, N, compact_steps, grid_size)
     if backend != 'xla':
-        if occ_table is None or occ_table.shape[-1] != grid_size * 8:
+        if occ_table is None or occ_table.shape[-1] != grid_size * 4:
             occ_table = pallas_ops.occupancy_table(density_bitfield,
                                                    grid_size)
         return _volume_render_fused(
@@ -254,6 +258,48 @@ def _volume_render_fused(decoder, params, code, rays_o, rays_d,
     valid = jax.lax.stop_gradient(valid) > 0.5
 
     comp_step, comp_valid = compact_samples(valid, K)
+
+    # Optional cross-ray packing (ops/packing.py): groups of 16 rays share
+    # a slot budget, nearly eliminating the ~60% invalid-slot padding the
+    # per-ray cap K leaves at realistic occupancies — decode work drops
+    # proportionally.  Reference semantics: mean_count budget capping
+    # (/root/reference/lib/ops/raymarching/raymarching.py:243-246).
+    P = getattr(decoder, 'pack_slots', None)
+    GR = 16
+    if (P is not None and P % 8 == 0 and K % 8 == 0 and N % GR == 0
+            and P <= 1024 and 1024 % P == 0 and (N // GR) * P % 1024 == 0):
+        from ...ops.packing import pack_groups, composite_packed
+        pstep, pvalid, prid, soffs = pack_groups(
+            comp_step, comp_valid, P, GR)               # (S, G, P)
+        G = N // GR
+        gps = 1024 // P                                 # groups per chunk
+        rpc = gps * GR
+        sel = (prid[..., None, :]
+               == jnp.arange(GR, dtype=jnp.int32)[:, None])  # (S,G,GR,P)
+        self32 = sel.astype(jnp.float32)
+
+        def per_slot(v):                                # (S, N) -> (S,G,P)
+            return jnp.einsum('sgrp,sgr->sgp', self32, v.reshape(
+                v.shape[0], G, GR))
+
+        dtg4 = dt_gamma[:, None, None, None]
+        pt = t_at_step(per_slot(t0), pstep[..., None], dtg4,
+                       dt_min, dt_max)[..., 0]
+        pdt = jnp.clip(pt * dt_gamma[:, None, None], dt_min, dt_max)
+        xyz = jnp.stack(
+            [jnp.clip(per_slot(rays_o[..., c]) + pt * per_slot(rays_d[..., c]),
+                      -decoder.bound, decoder.bound) for c in range(3)],
+            axis=-1)                                    # (S, G, P, 3)
+        g_iota = jnp.arange(G, dtype=jnp.int32) % gps
+        rid_local = prid + GR * g_iota[None, :, None]
+        sigmas, rgb_ch = _decode_fused(
+            decoder, params, code, xyz, rays_d, P, interpret,
+            deterministic=deterministic, dropout_key=dropout_key,
+            rid=rid_local, rpc=rpc)
+        weights_sum, depth, image = composite_packed(
+            sigmas, rgb_ch, pdt, pt, pvalid, prid, soffs, GR, T_thresh)
+        return dict(weights_sum=weights_sum, depth=depth, image=image)
+
     dtg = dt_gamma[:, None, None]
     comp_ts = t_at_step(t0, comp_step, dtg, dt_min, dt_max)
     comp_dts = jnp.clip(comp_ts * dtg, dt_min, dt_max)

@@ -77,6 +77,11 @@ class TriPlaneDecoder(nn.Module):
     # march only this many slots, clipped to the per-scene occupied AABB
     # (None = full max_steps; enable e.g. 128 once the grid has pruned)
     march_slots: Optional[int] = None
+    # cross-ray packed decoding (fused backend only): 16-ray groups share
+    # this many sample slots (multiple of 8, divides 1024; None = off).
+    # Overflowing groups lose trailing rays' deepest samples — the
+    # reference's mean_count budget semantics (ops/packing.py).
+    pack_slots: Optional[int] = None
     # renderer execution backend: 'auto' fuses the march/decode Pallas
     # kernels on TPU and falls back to pure XLA elsewhere; 'xla' forces the
     # fallback; 'pallas-interpret' runs the kernels interpreted (tests)

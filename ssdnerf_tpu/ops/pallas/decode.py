@@ -128,20 +128,19 @@ def _fwd_tail(fb, dirt, wbt_ref, bbt_ref, w1t_ref, w2t_ref):
     return base_t, bx, cx, o1, o2
 
 
-def _ray_onehot_t(rpc, n, K, dtype):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rpc, n), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rpc, n), 0)
-    return (lane // K == row).astype(dtype)
+def _ray_onehot_t(rid_row, rpc, dtype):
+    """(1, n) local ray ids -> (rpc, n) one-hot."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rpc, rid_row.shape[1]), 0)
+    return (row == rid_row).astype(dtype)
 
 
-def _fwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wbt_ref, bbt_ref,
+def _fwd_kernel(x_ref, y_ref, z_ref, rid_ref, planes_ref, dirout_ref,
+                wbt_ref, bbt_ref,
                 b1_ref, b2_ref, w1t_ref, w2t_ref,
                 sig_ref, r_ref, g_ref, b_ref, fres_ref=None,
-                *, K, subs, res, C, hidden):
-    rpc = SUB // K
-    oner = _ray_onehot_t(rpc, SUB, K, jnp.bfloat16)
-
+                *, K, rpc, subs, res, C, hidden):
     def body(i, _):
+        oner = _ray_onehot_t(rid_ref[pl.ds(i, 1), :], rpc, jnp.bfloat16)
         xk = x_ref[pl.ds(i, 1), :]
         yk = y_ref[pl.ds(i, 1), :]
         zk = z_ref[pl.ds(i, 1), :]
@@ -166,21 +165,20 @@ def _fwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wbt_ref, bbt_ref,
     jax.lax.fori_loop(0, subs, body, 0)
 
 
-def _bwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wbt_ref, bbt_ref,
+def _bwd_kernel(x_ref, y_ref, z_ref, rid_ref, planes_ref, dirout_ref,
+                wbt_ref, bbt_ref,
                 b1_ref, b2_ref, w1t_ref, w2t_ref, fres_ref,
                 gs_ref, gr_ref, gg_ref, gb_ref,
                 dplanes_ref, ddirout_ref, dwbt_ref, dbbt_ref,
                 dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-                *, K, subs, res, C, hidden):
+                *, K, rpc, subs, res, C, hidden):
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     s = pl.program_id(0)
     c_id = pl.program_id(1)
     is_first = (s == 0) & (c_id == 0)
-    rpc = SUB // K
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, SUB), 0)
 
-    oner = _ray_onehot_t(rpc, SUB, K, bf16)
     acc0 = (tuple(jnp.zeros((C * res, res), f32) for _ in range(3)),
             jnp.zeros((hidden, 3 * C), f32),
             jnp.zeros((128, hidden), f32), jnp.zeros((128, hidden), f32),
@@ -191,6 +189,7 @@ def _bwd_kernel(x_ref, y_ref, z_ref, planes_ref, dirout_ref, wbt_ref, bbt_ref,
         (acc_dplanes, acc_dwbt, acc_dw1t, acc_dw2t, acc_db1, acc_db2,
          acc_dbbt) = acc
         acc_dplanes = list(acc_dplanes)
+        oner = _ray_onehot_t(rid_ref[pl.ds(i, 1), :], rpc, bf16)
         xk = x_ref[pl.ds(i, 1), :]
         yk = y_ref[pl.ds(i, 1), :]
         zk = z_ref[pl.ds(i, 1), :]
@@ -306,9 +305,9 @@ def _shapes(planes, x, K):
     return S, C, res, R, N, subs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
-def triplane_decode(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t,
-                    K, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def triplane_decode(planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t,
+                    w2t, K, rpc=None, interpret=False):
     """Fused triplane decode.
 
     Args:
@@ -316,8 +315,12 @@ def triplane_decode(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t,
             ``planes[s, p, c*res + h, w] = code[s, p, c, h, w]`` (i.e.
             ``code.reshape(S, 3, C*res, res)``).
         x, y, z: (S, R, K) f32 per-sample coords in [-1, 1], ray-major.
-        dir_out: (S, R, hidden) f32 per-ray direction-branch outputs
-            (``sh_encode(dirs) @ W_dir + b_dir``).
+        rid: None (dense ray-major layout: sample i belongs to ray i//K)
+            or (S, R, K) int32 *local* ray ids in [0, rpc) — the id of the
+            sample's ray within its 1024-sample chunk's ray window (packed
+            cross-ray layouts, ops/packing.py).
+        dir_out: (S, R_rays, hidden) f32 per-ray direction-branch outputs
+            (``sh_encode(dirs) @ W_dir + b_dir``); R_rays = R*K*rpc/1024.
         wbt: (hidden, 3*C) bf16 base kernel, feature column order p*C + c
             (``wbt[o, p*C + c] = wb[c*3 + p, o]`` — the XLA path's feature
             order is c*3 + p, triplane_decoder.py:141).
@@ -325,23 +328,23 @@ def triplane_decode(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t,
             density/color biases (cols 0 / 0:3 used).
         w1t: (128, hidden) bf16, row 0 = density kernel (transposed).
         w2t: (128, hidden) bf16, rows 0:3 = color kernel.
-        K: static samples per ray; K | 1024 and R*K % 1024 == 0.
+        K: static samples per ray-slot group; K | 1024, R*K % 1024 == 0.
+        rpc: static rays per 1024-sample chunk (default 1024 // K).
 
     Returns:
         (sigma_raw, r_raw, g_raw, b_raw) each (S, R, K) f32
         (pre-trunc_exp / pre-sigmoid).
     """
     # undifferentiated call: skip the backward feature residual entirely
-    out, _ = _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K,
-                  interpret, with_residual=False)
+    out, _ = _fwd(planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t,
+                  w2t, K, rpc, interpret, with_residual=False)
     return out
 
 
-def _specs(S, G, subs, K, res, C, hidden):
-    rpc = SUB // K
+def _specs(S, G, subs, rpc, res, C, hidden):
     packed = pl.BlockSpec((subs, SUB), lambda s, c: (s * G + c, 0))
     return packed, [
-        packed, packed, packed,
+        packed, packed, packed, packed,
         pl.BlockSpec((1, 3, C * res, res), lambda s, c: (s, 0, 0, 0)),
         pl.BlockSpec((subs * rpc, hidden), lambda s, c: (s * G + c, 0)),
         pl.BlockSpec((hidden, 3 * C), lambda s, c: (0, 0)),
@@ -357,13 +360,22 @@ def _pack(a, S, N):
     return a.reshape(S * N // SUB, SUB)
 
 
-def _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, interpret,
-         with_residual=True):
+def _rid_or_default(rid, S, R, K, rpc):
+    if rid is not None:
+        return rid
+    i = jnp.arange(R * K, dtype=jnp.int32)
+    return jnp.broadcast_to(((i // K) % rpc).reshape(R, K), (S, R, K))
+
+
+def _fwd(planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, rpc,
+         interpret, with_residual=True):
     S, C, res, R, N, subs = _shapes(planes, x, K)
+    rpc = SUB // K if rpc is None else rpc
     hidden = wbt.shape[0]
     G = N // (SUB * subs)
-    packed, in_specs = _specs(S, G, subs, K, res, C, hidden)
-    dir_f = dir_out.reshape(S * R, hidden)
+    packed, in_specs = _specs(S, G, subs, rpc, res, C, hidden)
+    rid_full = _rid_or_default(rid, S, R, K, rpc)
+    dir_f = dir_out.reshape(S * N * rpc // SUB, hidden)
     out_shape = jax.ShapeDtypeStruct((S * N // SUB, SUB), jnp.float32)
     fr = _fres_rows(C)
     fres_spec = pl.BlockSpec((subs * fr, SUB), lambda s, c: (s * G + c, 0))
@@ -372,37 +384,41 @@ def _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, interpret,
     n_res = 1 if with_residual else 0
 
     res_list = pl.pallas_call(
-        functools.partial(_fwd_kernel, K=K, subs=subs, res=res, C=C,
-                          hidden=hidden),
+        functools.partial(_fwd_kernel, K=K, rpc=rpc, subs=subs, res=res,
+                          C=C, hidden=hidden),
         grid=(S, G),
         in_specs=in_specs,
         out_specs=[packed] * 4 + [fres_spec] * n_res,
         out_shape=[out_shape] * 4 + [fres_shape] * n_res,
         interpret=interpret,
-    )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N), planes, dir_f,
+    )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N),
+      _pack(rid_full, S, N), planes, dir_f,
       wbt, bbt, b1, b2, w1t, w2t)
     outs = tuple(o.reshape(S, R, K) for o in res_list[:4])
     fres = res_list[4] if with_residual else None
-    return outs, (planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, fres)
+    return outs, (planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t,
+                  w2t, fres)
 
 
-def _bwd(K, interpret, residuals, g):
-    planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, fres = residuals
+def _bwd(K, rpc, interpret, residuals, g):
+    planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t, w2t, fres = \
+        residuals
     gs, gr, gg, gb = g
     S, C, res, R, N, subs = _shapes(planes, x, K)
+    rpc = SUB // K if rpc is None else rpc
     hidden = wbt.shape[0]
     G = N // (SUB * subs)
-    rpc = SUB // K
-    packed, in_specs = _specs(S, G, subs, K, res, C, hidden)
+    packed, in_specs = _specs(S, G, subs, rpc, res, C, hidden)
+    rid_full = _rid_or_default(rid, S, R, K, rpc)
     fr = _fres_rows(C)
     fres_spec = pl.BlockSpec((subs * fr, SUB), lambda s, c: (s * G + c, 0))
-    dir_f = dir_out.reshape(S * R, hidden)
+    dir_f = dir_out.reshape(S * N * rpc // SUB, hidden)
     const = lambda shape: pl.BlockSpec(shape, lambda s, c: tuple(
         0 for _ in shape))
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, K=K, subs=subs, res=res, C=C,
-                          hidden=hidden),
+        functools.partial(_bwd_kernel, K=K, rpc=rpc, subs=subs, res=res,
+                          C=C, hidden=hidden),
         grid=(S, G),
         in_specs=in_specs + [fres_spec] + [packed] * 4,
         out_specs=[
@@ -417,7 +433,7 @@ def _bwd(K, interpret, residuals, g):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((S, 3, C * res, res), jnp.float32),
-            jax.ShapeDtypeStruct((S * R, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((S * N * rpc // SUB, hidden), jnp.float32),
             jax.ShapeDtypeStruct((hidden, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((hidden, 1), jnp.float32),
             jax.ShapeDtypeStruct((128, hidden), jnp.float32),
@@ -426,19 +442,20 @@ def _bwd(K, interpret, residuals, g):
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N), planes, dir_f,
+    )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N),
+      _pack(rid_full, S, N), planes, dir_f,
       wbt, bbt, b1, b2, w1t, w2t, fres,
       _pack(gs, S, N), _pack(gr, S, N), _pack(gg, S, N), _pack(gb, S, N))
     dplanes, ddir, dwbt, dbbt, dw1t, db1, dw2t, db2 = outs
-    return (dplanes.astype(planes.dtype), None, None, None,
-            ddir.reshape(S, R, hidden), dwbt.astype(wbt.dtype), dbbt, db1,
+    return (dplanes.astype(planes.dtype), None, None, None, None,
+            ddir.reshape(dir_out.shape), dwbt.astype(wbt.dtype), dbbt, db1,
             db2, dw1t.astype(w1t.dtype), dw2t.astype(w2t.dtype))
 
 
-def _fwd_rule(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K,
-              interpret):
-    return _fwd(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K,
-                interpret)
+def _fwd_rule(planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t, w2t, K,
+              rpc, interpret):
+    return _fwd(planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t, w2t,
+                K, rpc, interpret)
 
 
 triplane_decode.defvjp(_fwd_rule, _bwd)

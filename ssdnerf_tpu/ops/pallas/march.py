@@ -4,22 +4,31 @@ Replaces the dense bitfield byte-gather of ops/marching.py (33.5M XLA
 gathers at ~10 ns each for a full 128^2 render — the round-1 profile's
 single largest cost) with an MXU formulation of the exact voxel test:
 
-The bitfield is reorganized once per render into a *byte table*
-``G[y, x*8 + zb] = sum_j occ(x, y, zb*8+j) * 2^j`` (values 0..255 — exact
-in bf16).  Per sample, a one-hot over the joint (x, zb) index turns the
-table lookup into one (64, 512) @ (512, chunk) MXU matmul; the y row is
-selected with a 64-row compare-mask-reduce and the z bit extracted with
-exp2/floor arithmetic.
+The bitfield is reorganized once per render into a *byte table*: bytes
+``B[flat] = sum_j occ(x, y, zb*8+j) * 2^j`` with ``flat = y*512 + x*8 +
+zb`` (values 0..255), stored int8 with a -128 offset and reshaped
+``(128, 256)`` — ``T2[flat >> 8, flat & 255]``.  Per sample, a one-hot
+over the low 8 index bits turns the lookup into one (128, 256) @
+(256, chunk) MXU matmul; the high 7 bits select the output row with a
+compare-mask-reduce and the z bit is extracted with exp2/floor arithmetic.
 
-Division of labor (v2): everything *per-ray* and *per-sample-scalar* —
-the closed-form t grid, ray positions, voxel quantization, far clip —
-runs in XLA, fused and fully dense, and reaches the kernel as ONE packed
-int32 per sample (``(xzb << 9) | (iy << 3) | jbit``, negative = past
-far).  The kernel does only what XLA cannot: the gather, expressed as
-one-hot MXU matmuls.  The first kernel version recomputed t/coords
-in-kernel from per-ray SMEM rows; profiling showed those (1, 1024)-shaped
-VPU ops run at 1/8 sublane utilization and cost 4x the occupancy matmul
-itself.
+v3 (this file) over v2: the v2 table was (64, 512) — an M=64-row matmul
+runs the MXU at 50% row utilization (PERF.md).  Folding one x bit into the
+row index gives the MXU-native (128, 256) shape: full utilization, 2x.
+On top, int8 operands (the -128 offset keeps bytes exact in int8; the
+one-hot is 0/1) double the MXU rate again on v5e vs bf16.  The f32
+accumulate of v2 was exact for bytes; the i32 accumulate of v3 trivially
+so.
+
+Division of labor (v2, unchanged): everything *per-ray* and
+*per-sample-scalar* — the closed-form t grid, ray positions, voxel
+quantization, far clip — runs in XLA, fused and fully dense, and reaches
+the kernel as ONE packed int32 per sample (``(iy<<12)|(ix<<6)|(izb<<3)|
+izlow``, negative = past far).  The kernel does only what XLA cannot: the
+gather, expressed as one-hot MXU matmuls.  (The v1 kernel recomputed
+t/coords in-kernel from per-ray SMEM rows; profiling showed those
+(1, 1024)-shaped VPU ops run at 1/8 sublane utilization and cost 4x the
+occupancy matmul itself.)
 
 Semantics match ``kernel_march_rays_train``'s occupancy test
 (/root/reference/lib/ops/raymarching/src/raymarching.cu:311-492): same
@@ -45,49 +54,63 @@ def march_supported(grid_size):
 
 
 def occupancy_table(density_bitfield, grid_size=64):
-    """Linear (x, y, z)-ordered bitfield -> byte table for the march kernel.
+    """Linear (x, y, z)-ordered bitfield -> int8 byte table for the kernel.
 
     With the internal linear voxel order, each bitfield byte already packs
-    one z-octet; the table is a byte-level (x, y) transpose plus a bf16
-    cast — no bit-level work.
+    one z-octet; the table is a byte-level (x, y) transpose, a -128 offset
+    (so 0..255 is exact in int8) and an MXU-native (128, 256) reshape.
 
     Args:
         density_bitfield: (..., grid_size**3 // 8) uint8, linear order
             (bit index = (x*H + y)*H + z).
     Returns:
-        (..., grid_size, grid_size * 8) bf16 table T where
-        ``T[..., y, x*8 + zb]`` packs occupancy bits z = zb*8 .. zb*8+7.
+        (..., 2*grid_size, 4*grid_size) int8 table T2 where, with
+        ``flat = y*(8H) + x*8 + zb``, ``T2[..., flat >> 8, flat & 255] =
+        byte(x, y, zb) - 128`` packing occupancy bits z = zb*8 .. zb*8+7.
     """
     H = grid_size
     lead = density_bitfield.shape[:-1]
     bytes_ = density_bitfield.reshape(lead + (H, H, H // 8))  # (x, y, zb)
     bytes_ = jnp.swapaxes(bytes_, -3, -2)                     # (y, x, zb)
-    return bytes_.reshape(lead + (H, H * 8)).astype(jnp.bfloat16)
+    off = (bytes_.astype(jnp.int32) - 128).astype(jnp.int8)
+    return off.reshape(lead + (2 * H, 4 * H))
 
 
-def _march_kernel(ji_ref, gt_ref, out_ref, xzb_ref, iy_ref, *, H, n_sub,
-                  sub):
+def _march_kernel(ji_ref, gt_ref, out_ref, col_ref, row_ref, *, H, n_sub,
+                  sub, int8_dot):
     f32 = jnp.float32
-    bf16 = jnp.bfloat16
-    row512 = jax.lax.broadcasted_iota(jnp.int32, (H * 8, sub), 0)
-    row64 = jax.lax.broadcasted_iota(jnp.int32, (H, sub), 0)
-    gt = gt_ref[0].astype(bf16)                           # (H, H*8)
+    row256 = jax.lax.broadcasted_iota(jnp.int32, (4 * H, sub), 0)
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (2 * H, sub), 0)
+    if int8_dot:
+        gt = gt_ref[0]                                    # (128, 256) i8
+    else:
+        gt = gt_ref[0].astype(jnp.bfloat16)
 
     # dense unpack of the packed per-sample indices (through scratch refs
     # so the per-sub loop can dynamic-slice rows)
     ji = ji_ref[...]                                      # (n_sub, sub) i32
     live = ji >= 0
     jc = jnp.where(live, ji, 0)
-    xzb_ref[...] = jc >> 9
-    iy_ref[...] = (jc >> 3) & (H - 1)
+    row_ref[...] = jc >> 11
+    col_ref[...] = (jc >> 3) & (4 * H - 1)
     jbit = (jc & 7).astype(f32)
 
     def body(i, _):
-        oh = (row512 == xzb_ref[pl.ds(i, 1), :]).astype(bf16)  # (512, sub)
-        U = jax.lax.dot_general(gt, oh, (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32)  # (64, sub)
-        sel = (row64 == iy_ref[pl.ds(i, 1), :]).astype(f32)
-        out_ref[pl.ds(i, 1), :] = jnp.sum(U * sel, axis=0, keepdims=True)
+        ohm = row256 == col_ref[pl.ds(i, 1), :]
+        if int8_dot:
+            oh = ohm.astype(jnp.int8)                     # (256, sub)
+            U = jax.lax.dot_general(gt, oh, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            sel = (row128 == row_ref[pl.ds(i, 1), :]).astype(jnp.int32)
+            b = jnp.sum(U * sel, axis=0, keepdims=True)   # (1, sub) i32
+            out_ref[pl.ds(i, 1), :] = b.astype(f32) + 128.0
+        else:
+            oh = ohm.astype(jnp.bfloat16)
+            U = jax.lax.dot_general(gt, oh, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+            sel = (row128 == row_ref[pl.ds(i, 1), :]).astype(f32)
+            b = jnp.sum(U * sel, axis=0, keepdims=True)
+            out_ref[pl.ds(i, 1), :] = b + 128.0
         return 0
 
     jax.lax.fori_loop(0, n_sub, body, 0)
@@ -100,16 +123,19 @@ def _march_kernel(ji_ref, gt_ref, out_ref, xzb_ref, iy_ref, *, H, n_sub,
 
 
 def march_valid_mask(rays_pack, table, dt_gamma, *, T, grid_size, bound,
-                     max_steps, interpret=False):
+                     max_steps, interpret=False, int8_dot=True):
     """Exact per-sample occupancy validity, Pallas-fused.
 
     Args:
         rays_pack: (S, R, 8) f32 rows [ox oy oz dx dy dz t0 far]; ``t0``
             already includes the perturb jitter, ``far`` the AABB far clip.
-        table: (S, grid_size, grid_size*8) bf16 from :func:`occupancy_table`.
+        table: (S, 2*grid_size, 4*grid_size) int8 from
+            :func:`occupancy_table`.
         dt_gamma: (S,) f32 cone-stepping factors.
         T: static samples per ray (num_slots); must divide 1024.
         max_steps: static int setting the dt scale.
+        int8_dot: use the int8 MXU path (2x bf16 rate); the bf16 fallback
+            computes the identical result.
 
     Returns:
         (S, R, T) f32 validity in {0, 1}.
@@ -119,7 +145,7 @@ def march_valid_mask(rays_pack, table, dt_gamma, *, T, grid_size, bound,
     N = R * T
     dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 / H
-    assert SUB % T == 0, (T,)
+    assert SUB % T == 0 or T % SUB == 0, (T,)
     mip_bound = min(1.0, float(bound))
 
     dt_gamma = jnp.broadcast_to(jnp.asarray(dt_gamma, jnp.float32), (S,))
@@ -140,7 +166,9 @@ def march_valid_mask(rays_pack, table, dt_gamma, *, T, grid_size, bound,
                         0, H - 1)
 
     ix, iy, iz = voxel(0), voxel(1), voxel(2)
-    ji = ((((ix << 3) | (iz >> 3)) << 6) | iy) << 3 | (iz & 7)
+    # flat byte-table index (iy*8H + ix*8 + izb) in bits [17:3], z bit in
+    # [2:0]; matches occupancy_table's (128, 256) row-major flattening
+    ji = (((iy << 6) | ix) << 3 | (iz >> 3)) << 3 | (iz & 7)
     ji = jnp.where(t < far[..., None], ji, -1)             # (S, R, T) i32
 
     chunk = SUB * SUBS_PER_CHUNK
@@ -152,11 +180,12 @@ def march_valid_mask(rays_pack, table, dt_gamma, *, T, grid_size, bound,
     Cg = N // chunk
 
     out = pl.pallas_call(
-        functools.partial(_march_kernel, H=H, n_sub=n_sub, sub=SUB),
+        functools.partial(_march_kernel, H=H, n_sub=n_sub, sub=SUB,
+                          int8_dot=int8_dot),
         grid=(S, Cg),
         in_specs=[
             pl.BlockSpec((n_sub, SUB), lambda s, c: (s * Cg + c, 0)),
-            pl.BlockSpec((1, H, H * 8), lambda s, c: (s, 0, 0)),
+            pl.BlockSpec((1, 2 * H, 4 * H), lambda s, c: (s, 0, 0)),
         ],
         out_specs=pl.BlockSpec((n_sub, SUB), lambda s, c: (s * Cg + c, 0)),
         out_shape=jax.ShapeDtypeStruct((S * N // SUB, SUB), jnp.float32),

@@ -1,0 +1,196 @@
+"""Cross-ray packed decoding (ops/packing.py) vs oracles and the per-ray
+fused path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ssdnerf_tpu.models import TriPlaneDecoder
+from ssdnerf_tpu.models.decoders.renderer import volume_render
+from ssdnerf_tpu.ops.packing import pack_groups, composite_packed
+
+from tests.test_pallas_renderer import _scene
+
+
+def _pack_oracle(comp_step, comp_valid, P, Gr):
+    S, R, K = comp_step.shape
+    G = R // Gr
+    D = P // 8
+    pstep = np.zeros((S, G, P), np.float32)
+    pvalid = np.zeros((S, G, P), bool)
+    prid = np.zeros((S, G, P), np.int32)
+    soffs = np.zeros((S, G, Gr), np.int32)
+    for s in range(S):
+        for g in range(G):
+            off = 0
+            for r in range(Gr):
+                c = int(comp_valid[s, g * Gr + r].sum())
+                c8 = (c + 7) // 8
+                soffs[s, g, r] = min(off * 8, P)
+                for b in range(c8):
+                    d = off + b
+                    if d < D:
+                        sl = slice(d * 8, d * 8 + 8)
+                        pstep[s, g, sl] = comp_step[s, g * Gr + r,
+                                                    b * 8:b * 8 + 8]
+                        pvalid[s, g, sl] = comp_valid[s, g * Gr + r,
+                                                      b * 8:b * 8 + 8]
+                        prid[s, g, sl] = r
+                off += c8
+    return pstep, pvalid, prid, soffs
+
+
+def test_pack_groups_matches_oracle():
+    rng = np.random.RandomState(0)
+    S, R, K, Gr, P = 2, 32, 64, 16, 256   # budget small => truncation too
+    n_valid = rng.randint(0, K + 1, (S, R))
+    comp_valid = np.arange(K) < n_valid[..., None]
+    comp_step = np.where(
+        comp_valid, np.sort(rng.randint(0, 256, (S, R, K)), -1), 0
+    ).astype(np.float32)
+
+    got = pack_groups(jnp.asarray(comp_step), jnp.asarray(comp_valid), P, Gr)
+    want = _pack_oracle(comp_step, comp_valid, P, Gr)
+    names = ['pstep', 'pvalid', 'prid', 'soffs']
+    for n, a, b in zip(names, got, want):
+        a = np.asarray(a)
+        if n == 'prid':  # ids at invalid slots are don't-care
+            mask = np.asarray(got[1])
+            a = np.where(mask, a, 0)
+            b = np.where(want[1], b, 0)
+        np.testing.assert_array_equal(a, b, err_msg=n)
+
+
+def test_composite_packed_matches_dense_composite():
+    """Packing a no-overflow stream and compositing it must reproduce the
+    dense per-ray composite exactly (up to fp reassociation)."""
+    from ssdnerf_tpu.ops import composite_rays
+    rng = np.random.RandomState(1)
+    S, R, K, Gr, P = 2, 32, 64, 16, 1024  # P=Gr*K => lossless
+    n_valid = rng.randint(0, K + 1, (S, R))
+    comp_valid = np.arange(K) < n_valid[..., None]
+    sig = rng.rand(S, R, K).astype(np.float32) * 20
+    rgb = rng.rand(S, R, K, 3).astype(np.float32)
+    ts = np.sort(rng.rand(S, R, K).astype(np.float32) * 2, -1) + 0.5
+    dts = rng.rand(S, R, K).astype(np.float32) * 0.05
+    comp_step = np.broadcast_to(np.arange(K, dtype=np.float32), (S, R, K))
+
+    ws_d, dep_d, img_d = composite_rays(
+        jnp.asarray(sig), jnp.asarray(rgb), jnp.asarray(dts),
+        jnp.asarray(ts), jnp.asarray(comp_valid), 1e-4)
+
+    pstep, pvalid, prid, soffs = pack_groups(
+        jnp.asarray(comp_step), jnp.asarray(comp_valid), P, Gr)
+    # route per-sample arrays with the packed step index (here step == slot)
+    G = R // Gr
+    idx_r = (np.arange(G * Gr)[None].repeat(S, 0))
+    ps = np.asarray(pstep).astype(np.int32)
+    pr = np.asarray(prid)
+    gathered = {}
+    for name, arr in dict(sig=sig, ts=ts, dts=dts).items():
+        a4 = arr.reshape(S, G, Gr, K)
+        out = np.zeros((S, G, P), np.float32)
+        for s in range(S):
+            for g in range(G):
+                out[s, g] = a4[s, g, pr[s, g], ps[s, g]]
+        gathered[name] = jnp.asarray(out)
+    rgb4 = rgb.reshape(S, G, Gr, K, 3)
+    rgb_ch = []
+    for c in range(3):
+        out = np.zeros((S, G, P), np.float32)
+        for s in range(S):
+            for g in range(G):
+                out[s, g] = rgb4[s, g, pr[s, g], ps[s, g], c]
+        rgb_ch.append(jnp.asarray(out))
+
+    ws_p, dep_p, img_p = composite_packed(
+        gathered['sig'], tuple(rgb_ch), gathered['dts'], gathered['ts'],
+        pvalid, prid, soffs, Gr, 1e-4)
+    np.testing.assert_allclose(np.asarray(ws_p), np.asarray(ws_d), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dep_p), np.asarray(dep_d),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_d),
+                               atol=1e-4)
+
+
+def test_packed_render_matches_perray():
+    code, rays_o, rays_d, bitfield = _scene(seed=3, n_rays=64)
+    kwargs = dict(grid_size=64, dt_gamma=0.004, T_thresh=1e-4)
+    dec = TriPlaneDecoder(backend='pallas-interpret', compact_steps=64)
+    params = dec.init(jax.random.PRNGKey(1), code[:1],
+                      jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+    # Gr*K = 1024 = budget => no overflow, must match the per-ray path
+    dec_pk = dec.clone(pack_slots=1024)
+
+    out = volume_render(dec, params, code, rays_o, rays_d, bitfield,
+                        **kwargs)
+    out_pk = volume_render(dec_pk, params, code, rays_o, rays_d, bitfield,
+                           **kwargs)
+    for k, atol in (('weights_sum', 2e-2), ('image', 2e-2), ('depth', 3e-2)):
+        np.testing.assert_allclose(np.asarray(out_pk[k]),
+                                   np.asarray(out[k]), atol=atol,
+                                   err_msg=k)
+
+
+def test_packed_render_grads_match_perray():
+    code, rays_o, rays_d, bitfield = _scene(seed=5, n_rays=64)
+    dec = TriPlaneDecoder(backend='pallas-interpret', compact_steps=64)
+    params = dec.init(jax.random.PRNGKey(1), code[:1],
+                      jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+    dec_pk = dec.clone(pack_slots=1024)
+    target = jnp.zeros((2, 64, 3)) + 0.3
+
+    def loss(d):
+        def f(code, params):
+            out = volume_render(d, params, code, rays_o, rays_d, bitfield,
+                                grid_size=64, dt_gamma=0.0)
+            img = out['image'] + (1 - out['weights_sum'][..., None])
+            return jnp.mean((img - target) ** 2) * 1e3
+        return f
+
+    gx_code, gx_p = jax.grad(loss(dec), (0, 1))(code, params)
+    gp_code, gp_p = jax.grad(loss(dec_pk), (0, 1))(code, params)
+
+    def cmp(a, b, name, atol=5e-2):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=atol,
+                                   err_msg=name)
+
+    cmp(gp_code, gx_code, 'code')
+    flat_x = jax.tree_util.tree_leaves_with_path(gx_p)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp_p)
+    for (path_x, lx), (_, lp) in zip(flat_x, flat_p):
+        cmp(lp, lx, jax.tree_util.keystr(path_x))
+
+
+def test_packed_render_truncation_is_prefix_faithful():
+    """With an overflowing budget, early rays of each group must still
+    render exactly as the per-ray path; only trailing rays lose samples."""
+    code, rays_o, rays_d, bitfield = _scene(seed=7, n_rays=64)
+    dec = TriPlaneDecoder(backend='pallas-interpret', compact_steps=64)
+    params = dec.init(jax.random.PRNGKey(1), code[:1],
+                      jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+    dec_pk = dec.clone(pack_slots=512)
+    kwargs = dict(grid_size=64, dt_gamma=0.004, T_thresh=1e-4)
+
+    out = volume_render(dec, params, code, rays_o, rays_d, bitfield,
+                        **kwargs)
+    out_pk = volume_render(dec_pk, params, code, rays_o, rays_d, bitfield,
+                           **kwargs)
+    # find, per group, rays fully inside the budget and demand parity there
+    from ssdnerf_tpu.ops.marching import compact_samples
+    from ssdnerf_tpu.ops import near_far_from_aabb
+    from ssdnerf_tpu.ops.marching import march_rays
+    aabb = jnp.asarray([-1.0] * 3 + [1.0] * 3)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.2)
+    res = jax.vmap(lambda o, d, nr, fr, bf: march_rays(
+        o, d, nr, fr, bf, 64, 1.0, 0.004, 256))(
+        rays_o, rays_d, nears, fars, bitfield)
+    _, cv = compact_samples(res.valid, 64)
+    c8 = (np.asarray(cv.sum(-1)) + 7) // 8               # (S, R)
+    ends = np.cumsum(c8.reshape(2, 4, 16), -1) * 8       # block ends
+    inside = (ends <= 512).reshape(2, 64)
+    assert inside.any() and not inside.all()
+    np.testing.assert_allclose(
+        np.asarray(out_pk['image'])[inside],
+        np.asarray(out['image'])[inside], atol=2e-2)

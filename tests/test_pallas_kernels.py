@@ -14,14 +14,16 @@ def test_occupancy_table_matches_linear_bitfield():
     rng = np.random.RandomState(0)
     grid = rng.rand(2, H ** 3).astype(np.float32)
     bitfield = packbits(jnp.asarray(grid), 0.9)
-    tab = np.asarray(occupancy_table(bitfield, H).astype(jnp.float32))
-    # oracle: byte at (y, x*8+zb) packs occ(x, y, zb*8+j) for j in 0..7
+    tab = np.asarray(occupancy_table(bitfield, H)).astype(np.int32)
+    # oracle: byte at flat = y*8H + x*8 + zb (stored as (128, 256) int8
+    # with a -128 offset) packs occ(x, y, zb*8+j) for j in 0..7
     coords = rng.randint(0, H, size=(200, 3)).astype(np.int32)
     lin = (coords[:, 0] * H + coords[:, 1]) * H + coords[:, 2]
     bf = np.asarray(bitfield)
     occ_ref = (bf[:, lin >> 3] >> (lin & 7).astype(np.uint8)) & 1
     x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
-    byte = tab[:, y, x * 8 + (z >> 3)].astype(np.int32)
+    flat = y * 8 * H + x * 8 + (z >> 3)
+    byte = tab[:, flat >> 8, flat & 255] + 128
     occ_tab = (byte >> (z & 7)) & 1
     np.testing.assert_array_equal(occ_tab, occ_ref)
 
@@ -92,9 +94,14 @@ def _decode_inputs(seed=0, S=2, R=16, K=64, res=128, C=6, hidden=64):
             jnp.asarray(w2t).astype(jnp.bfloat16), K)
 
 
+def _with_rid(args, rid=None):
+    """Insert the (new) rid argument into a decode arg tuple."""
+    return args[:4] + (rid,) + args[4:]
+
+
 def test_triplane_decode_forward_matches_reference():
     args = _decode_inputs()
-    outs = triplane_decode(*args, interpret=True)
+    outs = triplane_decode(*_with_rid(args), rpc=None, interpret=True)
     refs = decode_reference(*args)
     for o, r, name in zip(outs, refs, 'sigma r g b'.split()):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
@@ -108,12 +115,18 @@ def test_triplane_decode_grads_match_reference():
     g_outs = tuple(jnp.asarray(rng.randn(*x.shape).astype(np.float32))
                    for _ in range(4))
 
-    def make_loss(fn, *extra):
+    def make_loss(fn, kernel=False):
         def loss(planes, dir_out, wf, bb, b1, b2, w1t, w2t):
-            outs = fn(planes.astype(jnp.bfloat16), x, y, z, dir_out,
-                      wf.astype(jnp.bfloat16), bb, b1, b2,
-                      w1t.astype(jnp.bfloat16), w2t.astype(jnp.bfloat16),
-                      K, *extra)
+            if kernel:
+                outs = fn(planes.astype(jnp.bfloat16), x, y, z, None,
+                          dir_out, wf.astype(jnp.bfloat16), bb, b1, b2,
+                          w1t.astype(jnp.bfloat16),
+                          w2t.astype(jnp.bfloat16), K, None, True)
+            else:
+                outs = fn(planes.astype(jnp.bfloat16), x, y, z, dir_out,
+                          wf.astype(jnp.bfloat16), bb, b1, b2,
+                          w1t.astype(jnp.bfloat16),
+                          w2t.astype(jnp.bfloat16), K)
             return sum(jnp.sum(o * g) for o, g in zip(outs, g_outs))
         return loss
 

@@ -1,5 +1,15 @@
 #!/usr/bin/env python
-"""Stage-by-stage timing of the fused renderer on real hardware."""
+"""Stage-by-stage timing of the fused renderer on real hardware.
+
+Every stage is timed with the in-jit fori_loop harness (PERF.md
+"Measurement methodology"): N sequential iterations inside ONE jit with a
+carry-serialized accumulator and an eps*i input perturbation, a single
+8-byte readback, minus the measured ~30 ms axon RTT.  Per-call readback
+timing (the v1 of this tool) inflates every stage by the RTT.
+
+Usage: python tools/perf_breakdown.py [--bf16-march] [--march-slots N]
+"""
+import argparse
 import os
 import sys
 import time
@@ -10,33 +20,54 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+RTT = 0.030
+N_ITERS = 10
 
-def timeit(fn, *args, n=10, tag=''):
-    out = fn(*args)
-    _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    t0 = time.perf_counter()
-    for _i in range(n):
-        out = fn(*args)
-        _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    dt = (time.perf_counter() - t0) / n
-    print(f'{tag}: {dt*1e3:.1f} ms')
-    return out
+
+def timeit(make_body, *args, tag=''):
+    """make_body(eps, *args) -> scalar; timed over N_ITERS in-jit iters."""
+
+    @jax.jit
+    def run(eps, *args):
+        def body(i, acc):
+            return acc + make_body(eps * i, *args)
+        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0))
+
+    z = jnp.float32(0.0)
+    _ = float(run(z, *args))
+    dt = float('inf')
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(run(z, *args))
+        dt = min(dt, (time.perf_counter() - t0 - RTT) / N_ITERS)
+    print(f'{tag}: {dt * 1e3:.2f} ms')
+    return dt
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--bf16-march', action='store_true')
+    ap.add_argument('--march-slots', type=int, default=None)
+    args_cli = ap.parse_args()
+
     jax.config.update('jax_compilation_cache_dir',
                       os.path.expanduser('~/.cache/jax_comp_cache'))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
     from ssdnerf_tpu.models import TriPlaneDecoder
-    from ssdnerf_tpu.models.decoders.renderer import _decode_fused
-    from ssdnerf_tpu.ops import get_cam_rays, near_far_from_aabb, composite_rays
+    from ssdnerf_tpu.models.decoders.renderer import _decode_fused, \
+        volume_render
+    from ssdnerf_tpu.ops import get_cam_rays, near_far_from_aabb, \
+        composite_rays
     from ssdnerf_tpu.ops.morton import packbits
     from ssdnerf_tpu.ops.marching import SQRT3, compact_samples, t_at_step
     from ssdnerf_tpu.ops import pallas as pallas_ops
     from tests.synthetic import look_at_pose
 
     key = jax.random.PRNGKey(0)
-    S, h, w, T, K, H = 8, 128, 128, 256, 64, 64
+    S, h, w, H = 8, 128, 128, 64
+    K = 64
+    T = args_cli.march_slots or 256
+    max_steps = 256
     N = h * w
     code = 0.5 * jax.random.normal(key, (S, 3, 6, 128, 128))
     dec = TriPlaneDecoder(backend='auto', compact_steps=K)
@@ -53,56 +84,86 @@ def main():
     rays_o = rays_o.reshape(S, N, 3)
     rays_d = rays_d.reshape(S, N, 3)
     dt_gamma = jnp.full((S,), 0.5 / 131.25)
-    dt_min = 2.0 * SQRT3 / T
+    dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 / H
 
-    tab = timeit(jax.jit(lambda b: pallas_ops.occupancy_table(b, H)),
-                 bitfield, tag='occupancy_table')
-
+    tab = jax.jit(lambda b: pallas_ops.occupancy_table(b, H))(bitfield)
     aabb = jnp.array([-1.0] * 3 + [1.0] * 3, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.2)
     t0v = nears
+    int8_dot = not args_cli.bf16_march
+    print(f'march dtype: {"int8" if int8_dot else "bf16"}, T={T}, K={K}')
 
-    @jax.jit
-    def march(rays_o, rays_d, t0v, fars, tab, dt_gamma):
+    def march_fn(eps, rays_o, rays_d, t0v, fars, tab, dt_gamma):
         pack = jnp.concatenate(
-            [rays_o, rays_d, t0v[..., None], fars[..., None]], axis=-1)
+            [rays_o, rays_d, (t0v + eps)[..., None], fars[..., None]],
+            axis=-1)
         return pallas_ops.march_valid_mask(
-            pack, tab, dt_gamma, T=T, grid_size=H, bound=1.0, max_steps=T)
+            pack, tab, dt_gamma, T=T, grid_size=H, bound=1.0,
+            max_steps=max_steps, int8_dot=int8_dot).sum()
 
-    valid = timeit(march, rays_o, rays_d, t0v, fars, tab, dt_gamma,
-                   tag='march kernel')
+    timeit(march_fn, rays_o, rays_d, t0v, fars, tab, dt_gamma,
+           tag='march kernel (incl. XLA prep)')
 
-    @jax.jit
-    def compact(valid, t0v, dt_gamma):
-        v = valid > 0.5
+    pack = jnp.concatenate(
+        [rays_o, rays_d, t0v[..., None], fars[..., None]], axis=-1)
+    valid = jax.jit(lambda p: pallas_ops.march_valid_mask(
+        p, tab, dt_gamma, T=T, grid_size=H, bound=1.0,
+        max_steps=max_steps, int8_dot=int8_dot))(pack)
+
+    def compact_fn(eps, valid, t0v, dt_gamma):
+        v = (valid + eps) > 0.5
         comp_step, comp_valid = compact_samples(v, K)
         dtg = dt_gamma[:, None, None]
         comp_ts = t_at_step(t0v, comp_step, dtg, dt_min, dt_max)
         comp_dts = jnp.clip(comp_ts * dtg, dt_min, dt_max)
-        return comp_ts, comp_dts, comp_valid
+        return comp_ts.sum() + comp_dts.sum() + comp_valid.sum()
 
-    comp_ts, comp_dts, comp_valid = timeit(compact, valid, t0v, dt_gamma,
-                                           tag='compact+t')
+    timeit(compact_fn, valid, t0v, dt_gamma, tag='compact+t')
 
-    @jax.jit
-    def decode(code, comp_ts, rays_o, rays_d):
+    comp_step, comp_valid = jax.jit(
+        lambda v: compact_samples(v > 0.5, K))(valid)
+    comp_ts = t_at_step(t0v, comp_step, dt_gamma[:, None, None],
+                        dt_min, dt_max)
+    comp_dts = jnp.clip(comp_ts * dt_gamma[:, None, None], dt_min, dt_max)
+
+    def decode_fn(eps, code, comp_ts, rays_o, rays_d):
         xyz = jnp.clip(
-            rays_o[:, :, None, :] + comp_ts[..., None] * rays_d[:, :, None, :],
-            -1.0, 1.0)
-        return _decode_fused(dec, params, code, xyz, rays_d, K, False)
+            rays_o[:, :, None, :]
+            + comp_ts[..., None] * rays_d[:, :, None, :], -1.0, 1.0)
+        sig, rgb = _decode_fused(dec, params, code + eps, xyz, rays_d, K,
+                                 False)
+        return sig.sum() + rgb[0].sum()
 
-    sig, rgb = timeit(decode, code, comp_ts, rays_o, rays_d,
-                      tag='decode kernel (+xyz prep)')
+    timeit(decode_fn, code, comp_ts, rays_o, rays_d,
+           tag='decode kernel (+xyz prep +activations)')
 
-    @jax.jit
-    def comp(sig, rgb, comp_dts, comp_ts, comp_valid):
-        return composite_rays(sig, rgb, comp_dts, comp_ts, comp_valid, 1e-4)
+    sig, rgb = jax.jit(lambda c, t: _decode_fused(
+        dec, params, c,
+        jnp.clip(rays_o[:, :, None, :] + t[..., None] * rays_d[:, :, None, :],
+                 -1, 1), rays_d, K, False))(code, comp_ts)
+    rgb_s = jnp.stack(rgb, axis=-1)
 
-    timeit(comp, sig, rgb, comp_dts, comp_ts, comp_valid, tag='composite')
+    def comp_fn(eps, sig, rgb_s, comp_dts, comp_ts, comp_valid):
+        return composite_rays(sig + eps, rgb_s, comp_dts, comp_ts,
+                              comp_valid, 1e-4)[2].sum()
 
-    frac = float(jnp.mean(valid))
-    print(f'valid fraction: {frac:.3f}')
+    timeit(comp_fn, sig, rgb_s, comp_dts, comp_ts, comp_valid,
+           tag='composite')
+
+    dec_r = dec.clone(march_slots=args_cli.march_slots) \
+        if args_cli.march_slots else dec
+
+    def full_fn(eps, code, rays_o, rays_d, bitfield):
+        out = volume_render(dec_r, params, code + eps, rays_o, rays_d,
+                            bitfield, H, dt_gamma=0.5 / 131.25,
+                            T_thresh=1e-4, step_chunk=4)
+        return out['image'].sum()
+
+    dt = timeit(full_fn, code, rays_o, rays_d, bitfield,
+                tag='full fused render')
+    print(f'=> {S * N / dt / 1e6:.2f} Mrays/s')
+    print(f'valid fraction: {float(jnp.mean(valid)):.3f}')
 
 
 if __name__ == '__main__':
