@@ -118,13 +118,20 @@ def main():
     # On-device fused-vs-XLA parity gate (compiled-Mosaic correctness
     # witness; VERDICT r2 weak #5).  Small render, both backends, real chip.
     # ------------------------------------------------------------------ #
+    # The timed fused path: cross-ray packed decoding, group budget 512
+    # (proven XLA-identical on this scenario, tests/test_packing.py +
+    # the on-device gate below)
+    dec_main = model.decoder.clone(pack_slots=512)
+
     def _parity_check():
         n_par = 2048
         args = (code[:2], rays_o[:2, :n_par], rays_d[:2, :n_par],
                 bitfield[:2])
 
         def render_with(backend):
-            dec = model.decoder.clone(backend=backend)
+            dec = dec_main.clone(backend=backend,
+                                 pack_slots=None if backend == 'xla'
+                                 else dec_main.pack_slots)
 
             @jax.jit
             def go(code, ro, rd, bf):
@@ -170,7 +177,7 @@ def main():
         return run
 
     z = jnp.float32(0.0)
-    run = make_run(model.decoder, bitfield)
+    run = make_run(dec_main, bitfield)
     dt = _timeit(run, z, code, rays_o, rays_d, sub_iters=n_iters)
     total_rays = S * h * w
     rays_per_sec = total_rays / dt
@@ -185,7 +192,7 @@ def main():
         occ_blob = _blob_occupancy(np, S, model.grid_size)
         fill = float(occ_blob.mean())
         bitfield_blob = packbits(jnp.asarray(occ_blob, jnp.float32), 0.5)
-        dec_slots = model.decoder.clone(march_slots=128)
+        dec_slots = dec_main.clone(march_slots=128)
         run_p = make_run(dec_slots, bitfield_blob)
         dt_p = _timeit(run_p, z, code, rays_o, rays_d, sub_iters=n_iters)
         rays_per_sec_pruned = total_rays / dt_p

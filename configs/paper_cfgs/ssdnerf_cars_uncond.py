@@ -22,7 +22,12 @@ test_cfg = dict(
     img_size=(128, 128),
     num_timesteps=50,          # DDIM steps
     clip_range=[-2, 2],
-    density_thresh=0.1)
+    density_thresh=0.1,
+    # TPU renderer work reduction for eval renders of pruned scenes:
+    # occupied-AABB march clipping (exact once the pruned AABB spans
+    # <= 128 steps) + cross-ray packed decoding (PERF.md)
+    march_slots=128,
+    pack_slots=512)
 
 optimizer = dict(
     diffusion=dict(type='Adam', lr=1e-4, weight_decay=0.),
@@ -98,7 +103,13 @@ custom_hooks = [
         step=[2000, 100000, 500000],
         cfgs=[{'train_cfg.extra_scene_step': 3},
               {'train_cfg.extra_scene_step': 1,
-               'diffusion.ddpm_loss.freeze_norm': True},
+               'diffusion.ddpm_loss.freeze_norm': True,
+               # density grids are long pruned by 100k: packed decoding +
+               # AABB-clipped marching are exact there and ~1.5x the
+               # training render (PERF.md); scheduled, not initial, so the
+               # unpruned warm-up never truncates
+               'decoder.pack_slots': 512,
+               'decoder.march_slots': 128},
               {'train_cfg.extra_scene_step': 1,
                'train_cfg.optimizer.lr': 2.5e-3,
                'diffusion.ddpm_loss.freeze_norm': True,

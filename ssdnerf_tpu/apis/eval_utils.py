@@ -112,7 +112,12 @@ def eval_and_viz(model, state, code, density_bitfield, data, viz_dir=None,
             vals = [lp_jax(p[i:i + 32], t[i:i + 32])
                     for i in range(0, len(p), 32)]
             lpips_all = np.concatenate(vals)
-            log_vars['test_lpips'] = float(lpips_all.mean())
+            # substitute (random) weights => tagged key: relative-only,
+            # not comparable to published VGG-LPIPS numbers
+            key = ('test_lpips_substitute'
+                   if getattr(lp_jax, 'substitute_weights', False)
+                   else 'test_lpips')
+            log_vars[key] = float(lpips_all.mean())
 
     if viz_dir is None:
         viz_dir = cfg.get('viz_dir')

@@ -258,7 +258,9 @@ def load_torch_state(init_params, torch_state, conv_name='conv',
                 if k.startswith(old):
                     parts = (new + k[len(old):]).split('.')
                     break
-        if parts[-2:] == ['conv', 'weight']:
+        if len(parts) == 1:
+            flat[tuple(parts)] = v          # bare param (lpips lin heads)
+        elif parts[-2:] == ['conv', 'weight']:
             flat[tuple(parts[:-1]) + ('kernel',)] = v.transpose(2, 3, 1, 0)
         elif parts[-2] == 'bn':
             name = {'weight': 'bn_scale', 'bias': 'bn_bias',
@@ -310,6 +312,9 @@ def make_inception_extractor(weights_path=None, batch=32):
             out.append(np.asarray(run(x * 2.0 - 1.0)))
         return np.concatenate(out, axis=0)
 
+    # metric code tags result keys (fid_substitute/...) off this flag so
+    # relative-only numbers cannot masquerade as published-comparable ones
+    extract.substitute_weights = weights_path is None
     return extract
 
 
@@ -335,4 +340,5 @@ def make_lpips(weights_path=None):
         return np.asarray(run(jnp.asarray(a, jnp.float32),
                               jnp.asarray(b, jnp.float32)))
 
+    lpips_fn.substitute_weights = weights_path is None
     return lpips_fn

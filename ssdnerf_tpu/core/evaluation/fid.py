@@ -124,13 +124,21 @@ class FID:
             self.real_mean = np.mean(feats, 0)
             self.real_cov = np.cov(feats, rowvar=False)
 
+    def _key(self, name):
+        """Tag metric keys when the feature net runs substitute (random)
+        weights: such values rank variants consistently but are NOT
+        comparable to published numbers, and must not look like they are."""
+        sub = getattr(self._extractor, 'substitute_weights', False)
+        return f'{name}_substitute' if sub else name
+
     def summary(self):
         self._real_stats()
         _, fake_mean, fake_cov = self._fake_stats()
         fid, mean, cov = self._calc_fid(fake_mean, fake_cov, self.real_mean,
                                         self.real_cov)
-        self._result_str = f'{fid:.4f} ({mean:.5f}/{cov:.5f})'
-        self._result_dict = dict(fid=fid, fid_mean=mean, fid_cov=cov)
+        k = self._key('fid')
+        self._result_str = f'{k} {fid:.4f} ({mean:.5f}/{cov:.5f})'
+        self._result_dict = {k: fid, f'{k}_mean': mean, f'{k}_cov': cov}
         return fid, mean, cov
 
     def clear(self, clear_reals=False):
@@ -164,8 +172,11 @@ class FIDKID(FID):
                                         self.real_cov)
         kid = self._calc_kid(self.real_feats_np, fake_np, self.num_subsets,
                              self.max_subset_size) * 1000
-        self._result_str = f'{fid:.4f} ({mean:.5f}/{cov:.5f}), {kid:.4f}'
-        self._result_dict = dict(fid=fid, fid_mean=mean, fid_cov=cov, kid=kid)
+        kf, kk = self._key('fid'), self._key('kid')
+        self._result_str = (f'{kf} {fid:.4f} ({mean:.5f}/{cov:.5f}), '
+                            f'{kk} {kid:.4f}')
+        self._result_dict = {kf: fid, f'{kf}_mean': mean, f'{kf}_cov': cov,
+                             kk: kid}
         return fid, mean, cov, kid
 
 

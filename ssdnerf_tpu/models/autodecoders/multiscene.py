@@ -332,6 +332,12 @@ class MultiSceneNeRF:
             obj = getattr(self, root)
             setattr(self, root,
                     dataclasses.replace(obj, **{parts[-1]: value}))
+        elif root == 'decoder' and len(parts) == 2:
+            # flax modules are frozen dataclasses: swap in a clone (used by
+            # ModelUpdaterHook to schedule march_slots/pack_slots once the
+            # density grids have pruned; recompile handled by the runner's
+            # step invalidation)
+            self.decoder = self.decoder.clone(**{parts[1]: value})
         elif root in ('diffusion', 'diffusion_ema') and len(parts) >= 2 \
                 and parts[1] == 'ddpm_loss':
             if parts[2] == 'freeze_norm':
@@ -595,16 +601,25 @@ class MultiSceneNeRF:
                 if self.decoder_use_ema else state['decoder']
         # cache one jitted render fn per static signature (avoids eager
         # per-op dispatch for full-image eval renders)
+        # test_cfg may override renderer work-reduction knobs for eval
+        # renders of pruned scenes (march_slots is exact once each scene's
+        # occupied AABB spans <= march_slots steps; pack_slots is the
+        # mean_count-style group budget, exact up to budget truncation)
+        dec_over = {k: cfg[k] for k in ('march_slots', 'pack_slots')
+                    if k in cfg}
         sig = ('render', h, w, cfg.get('dt_gamma_scale', 0.0),
-               cfg.get('max_render_rays', -1))
+               cfg.get('max_render_rays', -1),
+               tuple(sorted(dec_over.items())))
         cache = self.__dict__.setdefault('_jit_cache', {})
         if sig not in cache:
             dt_gamma_scale = cfg.get('dt_gamma_scale', 0.0)
             max_render_rays = cfg.get('max_render_rays', -1)
+            decoder = self.decoder.clone(**dec_over) if dec_over \
+                else self.decoder
 
             def fn(decoder_params, code, density_bitfield, intrinsics, poses):
                 return render_views(
-                    self.decoder, decoder_params, code, density_bitfield,
+                    decoder, decoder_params, code, density_bitfield,
                     self.grid_size, poses, intrinsics, h, w,
                     dt_gamma_scale=dt_gamma_scale, bg_color=self.bg_color,
                     max_render_rays=max_render_rays,

@@ -78,10 +78,15 @@ def test_fid_kid_produce_numbers_with_jax_extractor():
     metric.feed(fakes_far, 'fakes')
     metric.summary()
     res_far = metric.result_dict
-    assert np.isfinite(res_close['fid']) and np.isfinite(res_far['fid'])
-    assert np.isfinite(res_close['kid']) and np.isfinite(res_far['kid'])
+    # substitute (random) weights => tagged keys so the numbers cannot
+    # masquerade as published-comparable FID/KID
+    assert 'fid' not in res_close and 'kid' not in res_close
+    assert np.isfinite(res_close['fid_substitute'])
+    assert np.isfinite(res_far['fid_substitute'])
+    assert np.isfinite(res_close['kid_substitute'])
+    assert np.isfinite(res_far['kid_substitute'])
     # random-feature FID still orders close < far
-    assert res_close['fid'] < res_far['fid']
+    assert res_close['fid_substitute'] < res_far['fid_substitute']
 
 
 def test_lpips_jax_orders_perturbations():
