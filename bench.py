@@ -215,15 +215,18 @@ def main():
         def run_variant(autocast):
             p = diff_params
             x = model.code_diff_pr(noise)
+            diffusion = model.diffusion
             if autocast:
-                from ssdnerf_tpu.models.autodecoders.diffusion_nerf import \
-                    _cast_tree
-                p = _cast_tree(p, jnp.bfloat16)
-                x = x.astype(jnp.bfloat16)
+                # true bf16 compute module (casting params alone leaves the
+                # f32 module dtype upcasting every conv input back)
+                import dataclasses
+                diffusion = dataclasses.replace(
+                    diffusion,
+                    denoising=diffusion.denoising.clone(dtype='bfloat16'))
 
             @jax.jit
             def sample(p, x, k):
-                out, _ = model.diffusion.sample_from_noise(
+                out, _ = diffusion.sample_from_noise(
                     p, x, k, cfg=model.test_cfg)
                 return jnp.asarray(out, jnp.float32).sum()
 

@@ -61,8 +61,13 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, deterministic=True):
+        # GroupNorm statistics stay f32 (params are f32, flax promotes);
+        # casting the GN *outputs* to the compute dtype is what makes the
+        # bf16 mode actually halve HBM traffic — the UNet is bandwidth-
+        # bound (PERF.md: fwd at ~120 TFLOP/s moving ~12 GB), and without
+        # these casts every GN re-upcast the activation stream to f32.
         in_channels = x.shape[-1]
-        h = _gn(self.norm_groups, 'norm_1')(x)
+        h = _gn(self.norm_groups, 'norm_1')(x).astype(self.dtype)
         h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     feature_group_count=self.groups, name='conv_1')(h)
@@ -76,7 +81,7 @@ class ResBlock(nn.Module):
             h = _gn(self.norm_groups, 'norm_2')(h) * (1 + scale) + shift
         else:
             h = _gn(self.norm_groups, 'norm_2')(h + emb_out)
-        h = jax.nn.silu(h)
+        h = jax.nn.silu(h.astype(self.dtype))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         # ADM zero-module: the second conv starts at zero so the block is
@@ -111,7 +116,8 @@ class SelfAttention(nn.Module):
         g, nh = self.groups, self.num_heads
         assert C % (g * nh) == 0, (C, g, nh)
         hd = C // (g * nh)  # per-head channel dim
-        h = _gn(self.norm_groups, 'norm')(x).reshape(B, T, C)
+        h = _gn(self.norm_groups, 'norm')(x).astype(self.dtype).reshape(
+            B, T, C)
         x_flat = x.reshape(B, T, C)
         qkv = nn.Conv(3 * C, (1,), feature_group_count=g, dtype=self.dtype,
                       name='qkv')(h)
@@ -265,10 +271,10 @@ class DenoisingUnet(nn.Module):
 
         # ---- out: GN -> SiLU -> conv (order matches ConvModule
         # ('norm','act','conv') at denoising.py:178-187) ----
-        h = _gn(self.norm_groups, 'out_norm')(h)
+        h = _gn(self.norm_groups, 'out_norm')(h).astype(cdtype)
         h = jax.nn.silu(h)
         # ADM zero-module: the prediction head starts at zero
-        out = nn.Conv(self.in_channels, (3, 3), padding=1,
+        out = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=cdtype,
                       feature_group_count=self.groups,
                       kernel_init=nn.initializers.zeros, name='out_conv')(h)
         return out.astype(jnp.float32)

@@ -285,6 +285,26 @@ class DiffusionNeRF(MultiSceneNeRF):
             return _cast_tree(params, jnp.bfloat16), x.astype(jnp.bfloat16)
         return params, x
 
+    @property
+    def sampling_diffusion(self):
+        """The diffusion module used by the samplers: under autocast, a
+        clone whose UNet computes in bf16.  Casting params alone (the old
+        _autocast) changed nothing measurable — the f32 module dtype made
+        every conv upcast its inputs back, and the bandwidth-bound UNet
+        (PERF.md) ran at identical speed.  The bf16-dtype module halves
+        the activation traffic instead."""
+        if self.autocast_dtype in ('float16', 'bfloat16'):
+            cached = self.__dict__.get('_sampling_diffusion')
+            if cached is None:
+                import dataclasses
+                cached = dataclasses.replace(
+                    self.diffusion,
+                    denoising=self.diffusion.denoising.clone(
+                        dtype='bfloat16'))
+                self.__dict__['_sampling_diffusion'] = cached
+            return cached
+        return self.diffusion
+
     def val_uncond(self, state, noise, key, concat_cond=None):
         """Unconditional DDIM sampling + optional diffusion-prior code
         polish + density rebuild (diffusion_nerf.py:191-239).
@@ -297,7 +317,7 @@ class DiffusionNeRF(MultiSceneNeRF):
         k_samp, k_polish, k_dens = jax.random.split(key, 3)
 
         p, x = self._autocast(diff_params, self.code_diff_pr(noise))
-        code_diff, _ = self.diffusion.sample_from_noise(
+        code_diff, _ = self.sampling_diffusion.sample_from_noise(
             p, x, k_samp, cfg=tcfg, concat_cond=concat_cond)
         code = self.code_diff_pr_inv(code_diff.astype(jnp.float32))
 
@@ -401,7 +421,7 @@ class DiffusionNeRF(MultiSceneNeRF):
             return loss * S, new_state
 
         p, x = self._autocast(diff_params, self.code_diff_pr(noise))
-        code_diff, gstate = self.diffusion.sample_from_noise(
+        code_diff, gstate = self.sampling_diffusion.sample_from_noise(
             p, x, k_samp, cfg=tcfg, concat_cond=concat_cond,
             grad_guide_fn=grad_guide_fn, guide_state=guide_state0)
         code = self.code_diff_pr_inv(code_diff.astype(jnp.float32))
