@@ -274,20 +274,33 @@ def _volume_render_fused(decoder, params, code, rays_o, rays_d,
         G = N // GR
         gps = 1024 // P                                 # groups per chunk
         rpc = gps * GR
-        sel = (prid[..., None, :]
-               == jnp.arange(GR, dtype=jnp.int32)[:, None])  # (S,G,GR,P)
-        self32 = sel.astype(jnp.float32)
+        # per-ray -> per-slot routing at BLOCK granularity (prid is
+        # constant within 8-slot blocks): the (S, G, GR, P) f32 mask a
+        # slot-level route needs is ~1 GB of HBM traffic per flagship
+        # render; the block mask is 8x smaller and one einsum routes all
+        # seven per-ray channels at once.
+        rid_b = prid[..., ::8]                          # (S, G, P//8)
+        bsel = (rid_b[..., None] == jnp.arange(GR, dtype=jnp.int32)
+                ).astype(jnp.float32)                   # (S, G, D, GR)
+        chans = jnp.concatenate(
+            [t0[..., None], rays_o, rays_d],
+            axis=-1).reshape(num_scenes, G, GR, 7)
+        # HIGHEST: this einsum is a real MXU matmul; default bf16 rounding
+        # of ray origins/dirs shifts sample positions by ~1/4 voxel and
+        # breaks fused-vs-XLA parity on device.  It is tiny (GR=16
+        # contraction), so exactness is free.
+        routed = jnp.einsum('sgdr,sgrc->sgdc', bsel, chans,
+                            precision=jax.lax.Precision.HIGHEST)
 
-        def per_slot(v):                                # (S, N) -> (S,G,P)
-            return jnp.einsum('sgrp,sgr->sgp', self32, v.reshape(
-                v.shape[0], G, GR))
+        def per_slot(c):                                # channel -> (S,G,P)
+            return jnp.repeat(routed[..., c], 8, axis=-1)
 
         dtg4 = dt_gamma[:, None, None, None]
-        pt = t_at_step(per_slot(t0), pstep[..., None], dtg4,
+        pt = t_at_step(per_slot(0), pstep[..., None], dtg4,
                        dt_min, dt_max)[..., 0]
         pdt = jnp.clip(pt * dt_gamma[:, None, None], dt_min, dt_max)
         xyz = jnp.stack(
-            [jnp.clip(per_slot(rays_o[..., c]) + pt * per_slot(rays_d[..., c]),
+            [jnp.clip(per_slot(1 + c) + pt * per_slot(4 + c),
                       -decoder.bound, decoder.bound) for c in range(3)],
             axis=-1)                                    # (S, G, P, 3)
         g_iota = jnp.arange(G, dtype=jnp.int32) % gps

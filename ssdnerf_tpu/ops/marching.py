@@ -194,10 +194,27 @@ def compact_samples(valid, compact_steps, dtype=jnp.bfloat16):
     K = compact_steps
     pos = jnp.cumsum(valid, axis=-1) - 1                    # position of slot
     keep = valid & (pos < K)
-    onehot = ((pos[..., None] == jnp.arange(K)) & keep[..., None]).astype(dtype)
     steps = jnp.arange(T, dtype=dtype)
-    comp_step = jnp.einsum('...tk,t->...k', onehot, steps,
-                           preferred_element_type=jnp.float32)
+    if K % 8 == 0:
+        # factorized position one-hot: [pos==k] = [pos>>3==k>>3][pos&7==k&7]
+        # — the (..., T, K) one-hot this replaces is 4.3 GB per flagship
+        # render (HBM-bound); the two factors are (..., T, 8) and
+        # (..., K/8, T), 8x smaller combined.  Each output still sums
+        # exactly one nonzero product (step indices < 256 are exact bf16).
+        pl = (pos & 7)[..., None]
+        ph = pos >> 3
+        X = jnp.where((pl == jnp.arange(8)) & keep[..., None],
+                      steps[:, None], 0).astype(dtype)       # (..., T, 8)
+        Y = ((ph[..., None, :] == jnp.arange(K // 8)[:, None])
+             & keep[..., None, :]).astype(dtype)             # (..., K/8, T)
+        comp = jnp.einsum('...ht,...tl->...hl', Y, X,
+                          preferred_element_type=jnp.float32)
+        comp_step = comp.reshape(comp.shape[:-2] + (K,))
+    else:
+        onehot = ((pos[..., None] == jnp.arange(K))
+                  & keep[..., None]).astype(dtype)
+        comp_step = jnp.einsum('...tk,t->...k', onehot, steps,
+                               preferred_element_type=jnp.float32)
     n_valid = jnp.sum(valid, axis=-1)
     comp_valid = jnp.arange(K) < jnp.minimum(n_valid, K)[..., None]
     return comp_step, comp_valid

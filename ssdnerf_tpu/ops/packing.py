@@ -31,6 +31,143 @@ import jax
 import jax.numpy as jnp
 
 
+def _route_from_dest(dest, live, D):
+    """(S, G, SB) dest block indices -> (S, G, D, SB) bf16 routing one-hot."""
+    d = jnp.arange(D, dtype=jnp.int32)
+    route = ((dest[..., None, :] == d[:, None]) & live[..., None, :])
+    return route.astype(jnp.bfloat16)
+
+
+def pack_groups_banded(comp_step, comp_valid, band, budget, group_rays=16,
+                       num_bands=16, block_payload=None):
+    """Band-major variant of :func:`pack_groups` for the windowed decode.
+
+    Produces TWO destination layouts over the same routed source blocks:
+
+    - the *ray layout* of :func:`pack_groups` (each ray's samples
+      contiguous in t order — what :func:`composite_packed` needs), and
+    - a *band layout* where each group's live blocks are sorted by
+      ``(band, ray, position)``.  Because the sample x-coordinate is
+      monotone along a ray, 8-slot blocks of similar x-band land next to
+      each other, so any 128-slot tile of the band layout touches only a
+      narrow window of the triplane x-axis — which lets the decode kernel
+      contract hat matmuls against a sliced plane (ops/pallas/decode.py).
+
+    Decode runs in the band layout; its outputs are routed back to the ray
+    layout with the returned ``conv`` block one-hot, so compositing (and
+    truncation semantics, which are defined by the ray layout) are
+    unchanged.
+
+    Args:
+        band: (S, R, K//8) int32 sort keys in [0, num_bands) per source
+            block (only live blocks matter).
+        block_payload: optional (S, R, K//8, C) per-source-block channels
+            to route into the band layout (e.g. hat-row min/max for window
+            computation).
+
+    Returns:
+        (pstep_r, pvalid_r, prid_r, soffs_r): the ray layout, exactly as
+            :func:`pack_groups`;
+        (pstep_b, pvalid_b, prid_b): the band layout;
+        conv: (S, G, D, D) f32 one-hot with ``ray_blocks = conv @
+            band_blocks``;
+        payload_b: routed ``block_payload`` in the band layout (or None),
+            plus a trailing liveness channel.
+    """
+    S, R, K = comp_step.shape
+    Gr = group_rays
+    P = budget
+    assert R % Gr == 0 and P % 8 == 0 and K % 8 == 0, (R, Gr, P, K)
+    G = R // Gr
+    D = P // 8
+    Kb = K // 8
+    SB = Gr * Kb
+
+    cv = comp_valid.reshape(S, G, Gr, K)
+    cs = comp_step.reshape(S, G, Gr, K)
+    c = cv.sum(-1)                                    # (S, G, Gr)
+    c8 = (c + 7) // 8
+    boffs = jnp.cumsum(c8, -1) - c8
+
+    sb = jnp.arange(SB, dtype=jnp.int32)
+    r_of_sb = sb // Kb
+    b_of_sb = sb % Kb
+    src_live = (b_of_sb < jnp.take(c8, r_of_sb, axis=-1))      # (S, G, SB)
+
+    # ray-layout destinations (identical to pack_groups)
+    dest_r = jnp.take(boffs, r_of_sb, axis=-1) + b_of_sb
+
+    # band-layout destinations: stable counting sort on the band key
+    bandk = jnp.where(src_live, band.reshape(S, G, SB), num_bands)
+    is_b = (bandk[..., None, :]
+            == jnp.arange(num_bands, dtype=jnp.int32)[:, None])
+    is_bf = is_b.astype(jnp.float32)                  # (S, G, B, SB)
+    cnt_b = is_bf.sum(-1)                             # (S, G, B)
+    base_b = jnp.cumsum(cnt_b, -1) - cnt_b
+    rank_in_b = jnp.cumsum(is_bf, -1) - is_bf         # exclusive, per band
+    dest_b = jnp.einsum('sgbt,sgbt->sgt', is_bf,
+                        base_b[..., None] + rank_in_b).astype(jnp.int32)
+
+    # overflowing groups truncate by BOTH layouts' order so the two hold
+    # exactly the same sample set (route-back stays a bijection on live
+    # blocks); un-overflowed groups are unaffected.
+    live = src_live & (dest_r < D) & (dest_b < D)
+    route_r = _route_from_dest(dest_r, live, D)
+    route_b = _route_from_dest(dest_b, live, D)
+
+    def apply_route(route):
+        src = jnp.concatenate(
+            [cs.reshape(S, G, SB, 8),
+             cv.reshape(S, G, SB, 8).astype(jnp.float32)], axis=-1)
+        routed = jnp.einsum('sgdb,sgbw->sgdw', route,
+                            src.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        pstep = routed[..., :8].reshape(S, G, P)
+        pvalid = routed[..., 8:].reshape(S, G, P) > 0.5
+        rid_b = jnp.einsum('sgdb,b->sgd', route, r_of_sb.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        prid = jnp.repeat(rid_b.astype(jnp.int32), 8, axis=-1)
+        return pstep, pvalid, prid
+
+    pstep_r, pvalid_r, prid_r = apply_route(route_r)
+    pstep_b, pvalid_b, prid_b = apply_route(route_b)
+    soffs_r = jnp.minimum(boffs * 8, P).astype(jnp.int32)
+
+    # block-level layout conversion: ray_blocks = conv @ band_blocks
+    conv = jnp.einsum('sgdt,sget->sgde', route_r, route_b,
+                      preferred_element_type=jnp.float32)
+
+    payload_b = None
+    if block_payload is not None:
+        C = block_payload.shape[-1]
+        pay = jnp.concatenate(
+            [block_payload.reshape(S, G, SB, C),
+             jnp.ones((S, G, SB, 1), block_payload.dtype)], axis=-1)
+        payload_b = jnp.einsum('sgdb,sgbc->sgdc', route_b.astype(jnp.float32),
+                               pay)
+    return ((pstep_r, pvalid_r, prid_r, soffs_r),
+            (pstep_b, pvalid_b, prid_b), conv, payload_b)
+
+
+def route_back(conv, channels):
+    """Route per-slot channels from the band layout to the ray layout.
+
+    Args:
+        conv: (S, G, D, D) f32 from :func:`pack_groups_banded`.
+        channels: list of (S, G, P) band-layout arrays.
+    Returns:
+        list of (S, G, P) ray-layout arrays (zeros in dead blocks).
+    """
+    S, G, D, _ = conv.shape
+    n = len(channels)
+    pay = jnp.stack([c.reshape(S, G, D, 8) for c in channels],
+                    axis=-1).reshape(S, G, D, 8 * n)
+    out = jnp.einsum('sgde,sgec->sgdc', conv, pay)
+    out = out.reshape(S, G, D, 8, n)
+    P = D * 8
+    return [out[..., i].reshape(S, G, P) for i in range(n)]
+
+
 def pack_groups(comp_step, comp_valid, budget, group_rays=16):
     """Pack per-ray compacted sample streams into per-group slot budgets.
 
@@ -113,27 +250,41 @@ def composite_packed(sigmas, rgb_ch, dts, ts, pvalid, prid, soffs,
     """
     S, G, P = sigmas.shape
     Gr = group_rays
+    D = P // 8
     tau = jnp.where(pvalid, sigmas * dts, 0.0)
     cum = jnp.cumsum(tau, axis=-1)
     excl = cum - tau
 
-    # segment-start exclusive optical depth, per ray then per slot
-    j = jnp.arange(P, dtype=jnp.int32)
-    at_start = (j == soffs[..., None]).astype(jnp.float32)     # (S,G,Gr,P)
-    base_r = jnp.einsum('sgrp,sgp->sgr', at_start, excl)
+    # All routing masks are BLOCK-granular: ``prid`` is constant within
+    # 8-slot blocks and ``soffs`` is 8-aligned, so the (S, G, Gr, P) f32
+    # one-hots a slot-level formulation needs (~1 GB of HBM traffic per
+    # flagship render) shrink 8x to (S, G, Gr, P/8).
+    rid_b = prid[..., ::8]                                     # (S, G, D)
     r_iota = jnp.arange(Gr, dtype=jnp.int32)
-    slot_is_r = (prid[..., None, :] == r_iota[:, None])        # (S,G,Gr,P)
-    base_j = jnp.einsum('sgrp,sgr->sgp', slot_is_r.astype(jnp.float32),
-                        base_r)
+    bsel = (rid_b[..., None, :] == r_iota[:, None]).astype(jnp.float32)
+
+    # segment-start exclusive optical depth, per ray then per slot
+    exclB = excl[..., ::8]                                     # block starts
+    db = jnp.arange(D, dtype=jnp.int32)
+    at_startB = ((soffs >> 3)[..., None] == db).astype(jnp.float32)
+    # HIGHEST on every one-hot contraction below: these are genuine MXU
+    # matmuls (contraction dims Gr/D), and default bf16 rounding of
+    # optical depths / weights moved device parity from 1.5e-4 to 3e-2.
+    # They are <1% of render time, so exactness is free.
+    HI = jax.lax.Precision.HIGHEST
+    base_r = jnp.einsum('sgrd,sgd->sgr', at_startB, exclB, precision=HI)
+    base_j = jnp.repeat(jnp.einsum('sgrd,sgr->sgd', bsel, base_r,
+                                   precision=HI), 8, axis=-1)
 
     T_excl = jnp.exp(-(excl - base_j))
     alpha = 1.0 - jnp.exp(-tau)
     alive = jax.lax.stop_gradient(T_excl) >= T_thresh
     weight = jnp.where(pvalid & alive, alpha * T_excl, 0.0)
 
-    sel = slot_is_r.astype(jnp.float32)
     def per_ray(v):
-        return jnp.einsum('sgrp,sgp->sgr', sel, v).reshape(S, G * Gr)
+        vB = v.reshape(S, G, D, 8).sum(-1)
+        return jnp.einsum('sgrd,sgd->sgr', bsel, vB,
+                          precision=HI).reshape(S, G * Gr)
 
     weights_sum = per_ray(weight)
     depth = per_ray(weight * ts)

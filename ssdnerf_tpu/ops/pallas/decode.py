@@ -462,6 +462,137 @@ triplane_decode.defvjp(_fwd_rule, _bwd)
 
 
 # --------------------------------------------------------------------- #
+# banded forward kernel (windowed hat contraction)
+# --------------------------------------------------------------------- #
+# With band-sorted packing (ops/packing.py:pack_groups_banded) every
+# 128-lane tile of the sample stream touches only a narrow window of the
+# plane axes, so the three (768, res) @ (res, n) hat matmuls contract
+# against a W-row slice of the TRANSPOSED plane instead of all `res` rows
+# — a res/W (= 2x at W=64) FLOP cut on the decode hot loop, which runs at
+# ~MXU peak (PERF.md).  Exact whenever the per-tile windows cover the
+# tile's hat rows (the caller verifies this in XLA and falls back to the
+# full-width kernel otherwise); forward-only — the custom-VJP training
+# path keeps the full-width kernels.
+
+TILE = 128
+BAND_W = 64
+
+
+def _hats_win(coord, res, w0, W):
+    """(1, n) coords -> (W, n) hat rows for absolute rows w0..w0+W-1."""
+    f32 = jnp.float32
+    row = jax.lax.broadcasted_iota(jnp.int32, (W, coord.shape[1]), 0)
+    rowa = (row + w0).astype(f32)
+    f = jnp.clip((coord + 1.0) * (res * 0.5) - 0.5, 0.0, res - 1.0)
+    return jnp.maximum(1.0 - jnp.abs(rowa - f), 0.0)
+
+
+def _fwd_kernel_banded(win_ref, x_ref, y_ref, z_ref, rid_ref, planesT_ref,
+                       dirout_ref, wbt_ref, bbt_ref, b1_ref, b2_ref,
+                       w1t_ref, w2t_ref,
+                       sig_ref, r_ref, g_ref, b_ref,
+                       *, rpc, subs, res, C, hidden, W, Gk):
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    s = pl.program_id(0)
+    cb = pl.program_id(1)
+    n_tiles = SUB // TILE
+
+    def body(i, _):
+        row_g = (s * Gk + cb) * subs + i
+        dob = dirout_ref[pl.ds(i * rpc, rpc), :].astype(bf16)
+        for tj in range(n_tiles):
+            sl = pl.ds(tj * TILE, TILE)
+            w = win_ref[row_g, tj]
+            wx = w & 0xFF
+            wy = w >> 8
+            xk = x_ref[pl.ds(i, 1), sl]
+            yk = y_ref[pl.ds(i, 1), sl]
+            zk = z_ref[pl.ds(i, 1), sl]
+            hxW = _hats_win(xk, res, wx, W).astype(bf16)
+            hyW = _hats_win(yk, res, wy, W).astype(bf16)
+            hyF = _hats_t(yk, res)
+            hzF = _hats_t(zk, res)
+            axes = (((0,), (0,)), ((), ()))
+            feats = []
+            for p, (hm, w0, hs) in enumerate(
+                    ((hxW, wx, hyF), (hxW, wx, hzF), (hyW, wy, hzF))):
+                MT = planesT_ref[0, p][pl.ds(w0, W), :]      # (W, 768)
+                R1 = jax.lax.dot_general(
+                    MT, hm, axes, preferred_element_type=f32).T  # (768,TILE)
+                Ytile = jnp.concatenate([hs] * C, axis=0)
+                feats.append(_ysum(R1 * Ytile, C, res))
+            fb = jnp.concatenate(feats, axis=0).astype(bf16)
+
+            oner = _ray_onehot_t(rid_ref[pl.ds(i, 1), sl], rpc, bf16)
+            dirt = jax.lax.dot_general(dob, oner, axes,
+                                       preferred_element_type=f32)
+            _, _, _, o1, o2 = _fwd_tail(fb, dirt, wbt_ref, bbt_ref,
+                                        w1t_ref, w2t_ref)
+            sig_ref[pl.ds(i, 1), sl] = o1[0:1, :] + b1_ref[0, 0]
+            r_ref[pl.ds(i, 1), sl] = o2[0:1, :] + b2_ref[0, 1]
+            g_ref[pl.ds(i, 1), sl] = o2[1:2, :] + b2_ref[0, 1]
+            b_ref[pl.ds(i, 1), sl] = o2[2:3, :] + b2_ref[0, 2]
+        return 0
+
+    jax.lax.fori_loop(0, subs, body, 0)
+
+
+def triplane_decode_banded(planesT, x, y, z, rid, win, dir_out, wbt, bbt,
+                           b1, b2, w1t, w2t, K, rpc, interpret=False):
+    """Windowed-hat fused decode (forward only).
+
+    Args match :func:`triplane_decode` except:
+        planesT: (S, 3, res, C*res) bf16 TRANSPOSED plane rows
+            (``planes.swapaxes(-1, -2)``).
+        win: (S * N // SUB, SUB // TILE) int32 per-128-lane-tile windows,
+            packed ``wx | (wy << 8)``; wx/wy must be multiples of 16 in
+            [0, res - W] and must cover every hat row of the tile's VALID
+            samples (invalid samples out of window decode to zero features
+            — callers mask them).  x-windows apply to planes 0/1, the
+            y-window to plane 2.
+    """
+    S, _, res, F = planesT.shape
+    C = F // res
+    N = x.shape[1] * K
+    subs = MAX_SUBS
+    while (N // SUB) % subs != 0:
+        subs //= 2
+    hidden = wbt.shape[0]
+    Gk = N // (SUB * subs)
+    packed, in_specs = _specs(S, Gk, subs, rpc, res, C, hidden)
+    in_specs[4] = pl.BlockSpec((1, 3, res, F), lambda s, c, w: (s, 0, 0, 0))
+    # index maps gain the scalar-prefetch ref as a trailing argument
+    in_specs = [pl.BlockSpec(sp.block_shape,
+                             (lambda im: lambda s, c, w: im(s, c))(
+                                 sp.index_map))
+                if i != 4 else sp for i, sp in enumerate(in_specs)]
+    out_spec = pl.BlockSpec((subs, SUB),
+                            lambda s, c, w: (s * Gk + c, 0))
+    out_shape = jax.ShapeDtypeStruct((S * N // SUB, SUB), jnp.float32)
+    rid_full = _rid_or_default(rid, S, x.shape[1], K, rpc)
+    dir_f = dir_out.reshape(S * N * rpc // SUB, hidden)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, Gk),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 4,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_banded, rpc=rpc, subs=subs, res=res,
+                          C=C, hidden=hidden, W=BAND_W, Gk=Gk),
+        grid_spec=grid_spec,
+        out_shape=[out_shape] * 4,
+        interpret=interpret,
+    )(win, _pack(x, S, N), _pack(y, S, N), _pack(z, S, N),
+      _pack(rid_full, S, N), planesT, dir_f,
+      wbt, bbt, b1, b2, w1t, w2t)
+    R = x.shape[1]
+    return tuple(o.reshape(S, R, K) for o in outs)
+
+
+# --------------------------------------------------------------------- #
 # pure-jnp reference (oracle for tests)
 # --------------------------------------------------------------------- #
 def decode_reference(planes, x, y, z, dir_out, wbt, bbt, b1, b2, w1t, w2t, K):

@@ -194,3 +194,74 @@ def test_packed_render_truncation_is_prefix_faithful():
     np.testing.assert_allclose(
         np.asarray(out_pk['image'])[inside],
         np.asarray(out['image'])[inside], atol=2e-2)
+
+
+def test_pack_groups_banded_consistency():
+    """Banded packing: the ray layout must equal pack_groups exactly
+    (no overflow), the band layout must be band-sorted, and route_back
+    must map band-layout channels onto the ray layout."""
+    from ssdnerf_tpu.ops.packing import pack_groups_banded, route_back
+    rng = np.random.RandomState(2)
+    S, R, K, Gr, P = 2, 32, 64, 16, 1024   # lossless budget
+    n_valid = rng.randint(0, K + 1, (S, R))
+    comp_valid = np.arange(K) < n_valid[..., None]
+    comp_step = np.where(
+        comp_valid, np.sort(rng.randint(0, 256, (S, R, K)), -1), 0
+    ).astype(np.float32)
+    band = rng.randint(0, 16, (S, R, K // 8)).astype(np.int32)
+    # payload channel 0 carries the band key itself so the band-ordering
+    # invariant can be checked directly on the routed output
+    payload = np.concatenate(
+        [band[..., None].astype(np.float32),
+         rng.rand(S, R, K // 8, 1).astype(np.float32)], -1)
+
+    (ray, bandl, conv, payload_b) = pack_groups_banded(
+        jnp.asarray(comp_step), jnp.asarray(comp_valid), jnp.asarray(band),
+        P, Gr, num_bands=16, block_payload=jnp.asarray(payload))
+    pstep_r, pvalid_r, prid_r, soffs_r = ray
+    pstep_b, pvalid_b, prid_b = bandl
+
+    # 1. ray layout == pack_groups
+    want = pack_groups(jnp.asarray(comp_step), jnp.asarray(comp_valid),
+                       P, Gr)
+    for n, a, b in zip(['pstep', 'pvalid', 'prid', 'soffs'],
+                       [pstep_r, pvalid_r, prid_r, soffs_r], want):
+        a, b = np.asarray(a), np.asarray(b)
+        if n == 'prid':
+            m = np.asarray(pvalid_r)
+            a, b = np.where(m, a, 0), np.where(np.asarray(want[1]), b, 0)
+        np.testing.assert_array_equal(a, b, err_msg=n)
+
+    # 2. band layout: same multiset of (step, rid) pairs per group, and
+    # live blocks sorted by band key
+    G = R // Gr
+    sr = np.asarray(pstep_r).reshape(S, G, P)
+    sb = np.asarray(pstep_b).reshape(S, G, P)
+    vr = np.asarray(pvalid_r)
+    vb = np.asarray(pvalid_b)
+    rr = np.asarray(prid_r)
+    rb = np.asarray(prid_b)
+    pb_np = np.asarray(payload_b)
+    for s in range(S):
+        for g in range(G):
+            pr = sorted(zip(sr[s, g][vr[s, g]], rr[s, g][vr[s, g]]))
+            pbp = sorted(zip(sb[s, g][vb[s, g]], rb[s, g][vb[s, g]]))
+            assert pr == pbp, (s, g)
+            # band keys of live band-layout blocks are non-decreasing
+            vblk = vb[s, g].reshape(-1, 8).any(-1)
+            keys = [int(round(pb_np[s, g, d, 0]))
+                    for d in np.nonzero(vblk)[0]]
+            assert keys == sorted(keys), (s, g, keys)
+
+    # 3. route_back: band channels land on the ray layout
+    routed = route_back(conv, [jnp.asarray(sb), jnp.asarray(vb, np.float32)])
+    np.testing.assert_allclose(np.asarray(routed[0]), np.where(vr, sr, 0),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(routed[1]),
+                               vr.astype(np.float32), atol=1e-4)
+
+    # 4. payload liveness channel marks exactly the live band blocks
+    pb = np.asarray(payload_b)
+    assert pb.shape == (S, G, P // 8, 3)
+    np.testing.assert_array_equal(
+        pb[..., 2] > 0.5, np.asarray(vb).reshape(S, G, P // 8, 8).any(-1))

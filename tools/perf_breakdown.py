@@ -151,6 +151,58 @@ def main():
     timeit(comp_fn, sig, rgb_s, comp_dts, comp_ts, comp_valid,
            tag='composite')
 
+    # ------------------------------------------------------------------ #
+    # packed-path stages (pack_slots=512, the shipped setting)
+    # ------------------------------------------------------------------ #
+    from ssdnerf_tpu.ops.packing import pack_groups, composite_packed
+
+    P, GR = 512, 16
+
+    def pack_fn(eps, comp_step, comp_valid):
+        pstep, pvalid, prid, soffs = pack_groups(
+            comp_step + eps, comp_valid, P, GR)
+        return pstep.sum() + pvalid.sum() + prid.sum() + soffs.sum()
+
+    timeit(pack_fn, comp_step, comp_valid, tag='pack_groups')
+
+    pstep, pvalid, prid, soffs = jax.jit(
+        lambda cs, cv: pack_groups(cs, cv, P, GR))(comp_step, comp_valid)
+    G = N // GR
+    gps = 1024 // P
+    rpc = gps * GR
+
+    def prep_fn(eps, pstep, prid, t0v, rays_o, rays_d, dt_gamma):
+        rid_b = prid[..., ::8]
+        bsel = (rid_b[..., None] == jnp.arange(GR, dtype=jnp.int32)
+                ).astype(jnp.float32)
+        chans = jnp.concatenate(
+            [t0v[..., None] + eps, rays_o, rays_d],
+            axis=-1).reshape(S, G, GR, 7)
+        routed = jnp.einsum('sgdr,sgrc->sgdc', bsel, chans)
+        ps = lambda c: jnp.repeat(routed[..., c], 8, axis=-1)
+        dtg4 = dt_gamma[:, None, None, None]
+        pt = t_at_step(ps(0), pstep[..., None], dtg4, dt_min, dt_max)[..., 0]
+        pdt = jnp.clip(pt * dt_gamma[:, None, None], dt_min, dt_max)
+        xyz = jnp.stack(
+            [jnp.clip(ps(1 + c) + pt * ps(4 + c), -1.0, 1.0)
+             for c in range(3)], axis=-1)
+        return pt.sum() + pdt.sum() + xyz.sum()
+
+    timeit(prep_fn, pstep, prid, t0v, rays_o, rays_d, dt_gamma,
+           tag='packed prep (route+t+xyz)')
+
+    dec_p = dec.clone(pack_slots=P)
+
+    def full_packed_fn(eps, code, rays_o, rays_d, bitfield):
+        out = volume_render(dec_p, params, code + eps, rays_o, rays_d,
+                            bitfield, H, dt_gamma=0.5 / 131.25,
+                            T_thresh=1e-4, step_chunk=4)
+        return out['image'].sum()
+
+    dtp = timeit(full_packed_fn, code, rays_o, rays_d, bitfield,
+                 tag='full fused render (packed P=512)')
+    print(f'=> packed: {S * N / dtp / 1e6:.2f} Mrays/s')
+
     dec_r = dec.clone(march_slots=args_cli.march_slots) \
         if args_cli.march_slots else dec
 
@@ -161,7 +213,7 @@ def main():
         return out['image'].sum()
 
     dt = timeit(full_fn, code, rays_o, rays_d, bitfield,
-                tag='full fused render')
+                tag='full fused render (per-ray)')
     print(f'=> {S * N / dt / 1e6:.2f} Mrays/s')
     print(f'valid fraction: {float(jnp.mean(valid)):.3f}')
 
