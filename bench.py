@@ -168,8 +168,15 @@ def main():
         @jax.jit
         def run(eps, code, rays_o, rays_d):
             def body(i, acc):
-                out = volume_render(dec, params, code + eps * i, rays_o,
-                                    rays_d, bf, model.grid_size,
+                # BOTH code and rays must carry the symbolic perturbation:
+                # with code-only, XLA hoists the entire ray-dependent
+                # march/compact/pack prefix out of the loop and amortizes
+                # it 10x (measured: 30 ms/render vs the honest 48 ms at
+                # round-3 shapes).  BENCH_r01/r02 had that inflation;
+                # numbers from r03 on are un-hoisted (PERF.md).
+                out = volume_render(dec, params, code + eps * i,
+                                    rays_o + eps * i, rays_d, bf,
+                                    model.grid_size,
                                     dt_gamma=0.5 / 131.25, T_thresh=1e-4,
                                     step_chunk=4)
                 return acc + out['image'].sum()

@@ -44,12 +44,18 @@ def _resolve_backend(decoder, num_rays, compact_steps, grid_size):
 
 def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
                   deterministic=True, dropout_key=None, density_only=False,
-                  rid=None, rpc=None):
+                  rid=None, rpc=None, band=None):
     """Fused triplane decode: prep params/planes, call the Pallas kernel.
 
     xyz: (S, R, K, 3) sample coords; rays_d: (S, R_rays, 3) with
     R_rays = R (dense layout, rid None) or R*K*rpc/1024 (packed layout —
     rid gives each sample's local ray id, ops/packing.py).
+    band: optional (win, conv) pair for the windowed banded kernel
+        (forward only): xyz/rid must then be in the band-sorted layout,
+        ``win`` is the per-tile window array of
+        pallas_ops.triplane_decode_banded and ``conv`` the
+        band->ray-layout block one-hot (ops/packing.py); outputs are
+        routed back so the return is in the ray layout either way.
     Returns sigmas (S, R, K) and rgbs (S, R, K, 3) (None if density_only).
     """
     p = params['params']
@@ -95,9 +101,21 @@ def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
         dir_out = (jnp.einsum('srf,fh->srh', sh, wdir,
                               preferred_element_type=jnp.float32)
                    + p['dir_net']['dense_0']['bias'])
-    sig_raw, r_raw, g_raw, b_raw = pallas_ops.triplane_decode(
-        planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, rpc,
-        interpret)
+    if band is not None:
+        win, conv = band
+        planesT = planes.swapaxes(-1, -2)
+        raw = pallas_ops.triplane_decode_banded(
+            planesT, x, y, z, rid, win, dir_out, wbt, bbt, b1, b2, w1t,
+            w2t, K, rpc, interpret)
+        from ...ops.packing import route_back
+        # routing raw values is exact: each live ray-layout block comes
+        # from exactly one band-layout block (dead blocks get 0 and are
+        # masked by pvalid in compositing, like any invalid slot)
+        sig_raw, r_raw, g_raw, b_raw = route_back(conv, list(raw))
+    else:
+        sig_raw, r_raw, g_raw, b_raw = pallas_ops.triplane_decode(
+            planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t, w2t, K,
+            rpc, interpret)
     sigmas = trunc_exp(sig_raw)
     if density_only:
         return sigmas, None
@@ -268,47 +286,98 @@ def _volume_render_fused(decoder, params, code, rays_o, rays_d,
     GR = 16
     if (P is not None and P % 8 == 0 and K % 8 == 0 and N % GR == 0
             and P <= 1024 and 1024 % P == 0 and (N // GR) * P % 1024 == 0):
-        from ...ops.packing import pack_groups, composite_packed
-        pstep, pvalid, prid, soffs = pack_groups(
-            comp_step, comp_valid, P, GR)               # (S, G, P)
+        from ...ops.packing import (pack_groups, pack_groups_banded,
+                                    band_keys_and_payload, banded_windows,
+                                    composite_packed)
+        from ...ops.pallas.decode import BAND_W, TILE
         G = N // GR
         gps = 1024 // P                                 # groups per chunk
         rpc = gps * GR
-        # per-ray -> per-slot routing at BLOCK granularity (prid is
-        # constant within 8-slot blocks): the (S, G, GR, P) f32 mask a
-        # slot-level route needs is ~1 GB of HBM traffic per flagship
-        # render; the block mask is 8x smaller and one einsum routes all
-        # seven per-ray channels at once.
-        rid_b = prid[..., ::8]                          # (S, G, P//8)
-        bsel = (rid_b[..., None] == jnp.arange(GR, dtype=jnp.int32)
-                ).astype(jnp.float32)                   # (S, G, D, GR)
+        res_p = code.shape[-1]
+        banded = (getattr(decoder, 'banded_decode', False)
+                  and P % TILE == 0
+                  and (G * (P // TILE)) % (1024 // TILE) == 0)
+
+        if banded:
+            # Band keys + per-block hat-row extents from the SOURCE
+            # layout (per-ray compacted streams), where validity masking
+            # is direct.
+            ts_src = t_at_step(t0, comp_step, dt_gamma[:, None, None],
+                               dt_min, dt_max)
+            bandk, payload = band_keys_and_payload(
+                rays_o, rays_d, ts_src, comp_valid, decoder.bound, res_p)
+            ray_l, band_l, conv, payload_b = pack_groups_banded(
+                comp_step, comp_valid, bandk, P, GR, block_payload=payload)
+            pstep, pvalid, prid, soffs = ray_l
+            pstep_b, pvalid_b, prid_b = band_l
+        else:
+            pstep, pvalid, prid, soffs = pack_groups(
+                comp_step, comp_valid, P, GR)           # (S, G, P)
+
+        dtg4 = dt_gamma[:, None, None, None]
         chans = jnp.concatenate(
             [t0[..., None], rays_o, rays_d],
             axis=-1).reshape(num_scenes, G, GR, 7)
-        # HIGHEST: this einsum is a real MXU matmul; default bf16 rounding
-        # of ray origins/dirs shifts sample positions by ~1/4 voxel and
-        # breaks fused-vs-XLA parity on device.  It is tiny (GR=16
-        # contraction), so exactness is free.
-        routed = jnp.einsum('sgdr,sgrc->sgdc', bsel, chans,
-                            precision=jax.lax.Precision.HIGHEST)
 
-        def per_slot(c):                                # channel -> (S,G,P)
-            return jnp.repeat(routed[..., c], 8, axis=-1)
+        def prep(pstep_l, prid_l):
+            """Per-slot t/dt/xyz for one packed layout.
 
-        dtg4 = dt_gamma[:, None, None, None]
-        pt = t_at_step(per_slot(0), pstep[..., None], dtg4,
-                       dt_min, dt_max)[..., 0]
-        pdt = jnp.clip(pt * dt_gamma[:, None, None], dt_min, dt_max)
-        xyz = jnp.stack(
-            [jnp.clip(per_slot(1 + c) + pt * per_slot(4 + c),
-                      -decoder.bound, decoder.bound) for c in range(3)],
-            axis=-1)                                    # (S, G, P, 3)
+            Routing is BLOCK-granular (prid is constant within 8-slot
+            blocks): the (S, G, GR, P) f32 mask a slot-level route needs
+            is ~1 GB of HBM traffic per flagship render; the block mask
+            is 8x smaller and one einsum routes all seven per-ray
+            channels at once.  HIGHEST: this einsum is a real MXU
+            matmul; default bf16 rounding of ray origins/dirs shifts
+            sample positions by ~1/4 voxel and breaks fused-vs-XLA
+            parity on device.  It is tiny (GR=16 contraction), so
+            exactness is free.
+            """
+            rid_blk = prid_l[..., ::8]                  # (S, G, P//8)
+            bsel = (rid_blk[..., None] == jnp.arange(GR, dtype=jnp.int32)
+                    ).astype(jnp.float32)               # (S, G, D, GR)
+            routed = jnp.einsum('sgdr,sgrc->sgdc', bsel, chans,
+                                precision=jax.lax.Precision.HIGHEST)
+
+            def per_slot(c):                            # channel -> (S,G,P)
+                return jnp.repeat(routed[..., c], 8, axis=-1)
+
+            pt = t_at_step(per_slot(0), pstep_l[..., None], dtg4,
+                           dt_min, dt_max)[..., 0]
+            pdt = jnp.clip(pt * dt_gamma[:, None, None], dt_min, dt_max)
+            xyz = jnp.stack(
+                [jnp.clip(per_slot(1 + c) + pt * per_slot(4 + c),
+                          -decoder.bound, decoder.bound) for c in range(3)],
+                axis=-1)                                # (S, G, P, 3)
+            return pt, pdt, xyz
+
+        pt, pdt, xyz = prep(pstep, prid)
         g_iota = jnp.arange(G, dtype=jnp.int32) % gps
         rid_local = prid + GR * g_iota[None, :, None]
-        sigmas, rgb_ch = _decode_fused(
-            decoder, params, code, xyz, rays_d, P, interpret,
-            deterministic=deterministic, dropout_key=dropout_key,
-            rid=rid_local, rpc=rpc)
+        dec_kwargs = dict(deterministic=deterministic,
+                          dropout_key=dropout_key, rpc=rpc)
+
+        if banded:
+            # Per-128-slot-tile plane windows from the routed block
+            # extents; if every tile's hat rows fit a BAND_W window the
+            # banded kernel runs, else the same render falls back to the
+            # full-width kernel (exactness guard).
+            win, banded_ok = banded_windows(payload_b, res_p, BAND_W, TILE)
+            _, _, xyz_b = prep(pstep_b, prid_b)
+            rid_local_b = prid_b + GR * g_iota[None, :, None]
+
+            sigmas, rgb_ch = jax.lax.cond(
+                banded_ok,
+                lambda: _decode_fused(decoder, params, code, xyz_b,
+                                      rays_d, P, interpret,
+                                      rid=rid_local_b, band=(win, conv),
+                                      **dec_kwargs),
+                lambda: _decode_fused(decoder, params, code, xyz, rays_d,
+                                      P, interpret, rid=rid_local,
+                                      **dec_kwargs))
+        else:
+            sigmas, rgb_ch = _decode_fused(
+                decoder, params, code, xyz, rays_d, P, interpret,
+                rid=rid_local, **dec_kwargs)
         weights_sum, depth, image = composite_packed(
             sigmas, rgb_ch, pdt, pt, pvalid, prid, soffs, GR, T_thresh)
         return dict(weights_sum=weights_sum, depth=depth, image=image)

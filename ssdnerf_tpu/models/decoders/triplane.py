@@ -82,6 +82,15 @@ class TriPlaneDecoder(nn.Module):
     # Overflowing groups lose trailing rays' deepest samples — the
     # reference's mean_count budget semantics (ops/packing.py).
     pack_slots: Optional[int] = None
+    # band-sorted windowed decode (fused packed backend, FORWARD-ONLY —
+    # the banded kernel has no VJP, so keep this off for training):
+    # sample blocks are sorted by triplane x-band so the decode kernel
+    # contracts hat matmuls against a 64-row plane window instead of all
+    # `res` rows (~2x decode FLOP cut).  Exactness is guarded per render:
+    # if any 128-slot tile's hat rows exceed its window, the whole render
+    # falls back to the full-width kernel via lax.cond (ops/packing.py,
+    # ops/pallas/decode.py).
+    banded_decode: bool = False
     # renderer execution backend: 'auto' fuses the march/decode Pallas
     # kernels on TPU and falls back to pure XLA elsewhere; 'xla' forces the
     # fallback; 'pallas-interpret' runs the kernels interpreted (tests)

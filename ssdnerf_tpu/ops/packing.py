@@ -38,6 +38,81 @@ def _route_from_dest(dest, live, D):
     return route.astype(jnp.bfloat16)
 
 
+def band_keys_and_payload(rays_o, rays_d, ts_src, comp_valid, bound, res,
+                          num_bands=16):
+    """Per-source-block band keys and hat-row extents for banded packing.
+
+    Args:
+        rays_o, rays_d: (S, N, 3); ts_src: (S, N, K) per-sample t values
+            in the source (per-ray compacted) layout; comp_valid the
+            matching validity mask; res the triplane resolution.
+
+    Returns:
+        bandk: (S, N, K//8) int32 x-band sort keys;
+        payload: (S, N, K//8, 4) f32 [fx_min, fx_max, fy_min, fy_max]
+            continuous hat-row extents over each block's VALID samples
+            (empty blocks get inverted extents that never widen a tile
+            window).
+    """
+    S, N, K = ts_src.shape
+    Kb = K // 8
+    vb8 = comp_valid.reshape(S, N, Kb, 8)
+
+    def block_minmax(axis):
+        c = jnp.clip(rays_o[..., None, axis] + ts_src * rays_d[..., None, axis],
+                     -bound, bound)
+        f = jnp.clip((c + 1.0) * (res * 0.5) - 0.5, 0.0, res - 1.0)
+        fb = f.reshape(S, N, Kb, 8)
+        return (jnp.min(jnp.where(vb8, fb, float(res)), -1),
+                jnp.max(jnp.where(vb8, fb, -1.0), -1))
+
+    fxmin, fxmax = block_minmax(0)
+    fymin, fymax = block_minmax(1)
+    bandk = jnp.clip(
+        ((fxmin + fxmax) * (0.5 * num_bands / res)).astype(jnp.int32),
+        0, num_bands - 1)
+    payload = jnp.stack([fxmin, fxmax, fymin, fymax], -1)
+    return bandk, payload
+
+
+def banded_windows(payload_b, res, band_w, tile):
+    """Per-128-slot-tile plane windows + the exactness guard.
+
+    Args:
+        payload_b: (S, G, D, 5) routed band-layout extents from
+            :func:`pack_groups_banded` (trailing channel = liveness).
+        band_w: kernel window width (ops/pallas/decode.py BAND_W).
+        tile: kernel tile width (TILE).
+
+    Returns:
+        win: (S * G * D * 8 // 1024, 1024 // tile) int32 packed
+            ``wx | (wy << 8)`` per-tile windows (multiples of 16);
+        ok: scalar bool — True iff EVERY tile's hat rows (over valid
+            samples) fit its window, i.e. the banded kernel is exact.
+    """
+    S, G, D, _ = payload_b.shape
+    P = D * 8
+    ntile = P // tile
+    bpt = tile // 8
+    livep = payload_b[..., 4] > 0.5
+
+    def tile_window(lo_ch, hi_ch):
+        lo = jnp.where(livep, payload_b[..., lo_ch], float(res))
+        hi = jnp.where(livep, payload_b[..., hi_ch], -1.0)
+        lo = lo.reshape(S, G, ntile, bpt).min(-1)
+        hi = hi.reshape(S, G, ntile, bpt).max(-1)
+        w0 = jnp.clip((jnp.floor(lo).astype(jnp.int32) // 16) * 16,
+                      0, res - band_w)
+        hi_row = jnp.minimum(jnp.floor(hi).astype(jnp.int32) + 1, res - 1)
+        return w0, hi_row <= w0 + band_w - 1
+
+    wx, okx = tile_window(0, 1)
+    wy, oky = tile_window(2, 3)
+    win = (wx | (wy << 8)).reshape(S * G * ntile // (1024 // tile),
+                                   1024 // tile)
+    return win, jnp.all(okx & oky)
+
+
 def pack_groups_banded(comp_step, comp_valid, band, budget, group_rays=16,
                        num_bands=16, block_payload=None):
     """Band-major variant of :func:`pack_groups` for the windowed decode.
@@ -94,11 +169,16 @@ def pack_groups_banded(comp_step, comp_valid, band, budget, group_rays=16,
     b_of_sb = sb % Kb
     src_live = (b_of_sb < jnp.take(c8, r_of_sb, axis=-1))      # (S, G, SB)
 
-    # ray-layout destinations (identical to pack_groups)
+    # ray-layout destinations and truncation (identical to pack_groups —
+    # the budget semantics, including which samples overflow drops, are
+    # DEFINED by the ray layout)
     dest_r = jnp.take(boffs, r_of_sb, axis=-1) + b_of_sb
+    live = src_live & (dest_r < D)
 
-    # band-layout destinations: stable counting sort on the band key
-    bandk = jnp.where(src_live, band.reshape(S, G, SB), num_bands)
+    # band-layout destinations: stable counting sort on the band key,
+    # over the SURVIVING blocks only — so both layouts hold exactly the
+    # same sample set (<= D blocks) and route-back is a bijection.
+    bandk = jnp.where(live, band.reshape(S, G, SB), num_bands)
     is_b = (bandk[..., None, :]
             == jnp.arange(num_bands, dtype=jnp.int32)[:, None])
     is_bf = is_b.astype(jnp.float32)                  # (S, G, B, SB)
@@ -107,11 +187,6 @@ def pack_groups_banded(comp_step, comp_valid, band, budget, group_rays=16,
     rank_in_b = jnp.cumsum(is_bf, -1) - is_bf         # exclusive, per band
     dest_b = jnp.einsum('sgbt,sgbt->sgt', is_bf,
                         base_b[..., None] + rank_in_b).astype(jnp.int32)
-
-    # overflowing groups truncate by BOTH layouts' order so the two hold
-    # exactly the same sample set (route-back stays a bijection on live
-    # blocks); un-overflowed groups are unaffected.
-    live = src_live & (dest_r < D) & (dest_b < D)
     route_r = _route_from_dest(dest_r, live, D)
     route_b = _route_from_dest(dest_b, live, D)
 
@@ -162,7 +237,10 @@ def route_back(conv, channels):
     n = len(channels)
     pay = jnp.stack([c.reshape(S, G, D, 8) for c in channels],
                     axis=-1).reshape(S, G, D, 8 * n)
-    out = jnp.einsum('sgde,sgec->sgdc', conv, pay)
+    # HIGHEST: raw decode outputs ride this one-hot matmul and feed
+    # trunc_exp, which amplifies default-precision bf16 rounding
+    out = jnp.einsum('sgde,sgec->sgdc', conv, pay,
+                     precision=jax.lax.Precision.HIGHEST)
     out = out.reshape(S, G, D, 8, n)
     P = D * 8
     return [out[..., i].reshape(S, G, P) for i in range(n)]

@@ -43,6 +43,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 SUB = 1024
 MAX_SUBS = 8
@@ -501,14 +502,26 @@ def _fwd_kernel_banded(win_ref, x_ref, y_ref, z_ref, rid_ref, planesT_ref,
     def body(i, _):
         row_g = (s * Gk + cb) * subs + i
         dob = dirout_ref[pl.ds(i * rpc, rpc), :].astype(bf16)
+        # Per-tile I/O is packed (subs * 8, TILE) — one sublane row per
+        # 128-sample tile — so every load/store is a full row at lane
+        # offset 0.  Mosaic rejects both sub-row vector loads at dynamic
+        # sublane offsets ("dynamic load with unaligned indices") and
+        # broadcasts of register values carrying a lane-offset layout
+        # ("invalid input layout"), which rules out slicing (1, 1024)
+        # rows in registers.
         for tj in range(n_tiles):
-            sl = pl.ds(tj * TILE, TILE)
-            w = win_ref[row_g, tj]
-            wx = w & 0xFF
-            wy = w >> 8
-            xk = x_ref[pl.ds(i, 1), sl]
-            yk = y_ref[pl.ds(i, 1), sl]
-            zk = z_ref[pl.ds(i, 1), sl]
+            row = i * n_tiles + tj
+            # win is 1-D: a 2-D SMEM operand gets lane-padded to 128
+            # columns (16x the footprint) and blows the 1 MB SMEM limit
+            w = win_ref[row_g * n_tiles + tj]
+            # windows are multiples of 16 by construction
+            # (ops/packing.py banded_windows); Mosaic needs the hint to
+            # prove the sublane-dim plane slice is aligned
+            wx = pl.multiple_of(w & 0xFF, 16)
+            wy = pl.multiple_of(w >> 8, 16)
+            xk = x_ref[pl.ds(row, 1), :]
+            yk = y_ref[pl.ds(row, 1), :]
+            zk = z_ref[pl.ds(row, 1), :]
             hxW = _hats_win(xk, res, wx, W).astype(bf16)
             hyW = _hats_win(yk, res, wy, W).astype(bf16)
             hyF = _hats_t(yk, res)
@@ -517,22 +530,23 @@ def _fwd_kernel_banded(win_ref, x_ref, y_ref, z_ref, rid_ref, planesT_ref,
             feats = []
             for p, (hm, w0, hs) in enumerate(
                     ((hxW, wx, hyF), (hxW, wx, hzF), (hyW, wy, hzF))):
-                MT = planesT_ref[0, p][pl.ds(w0, W), :]      # (W, 768)
+                # ref-level dynamic slice: only W rows travel VMEM->regs
+                MT = planesT_ref[0, p, pl.ds(w0, W), :]      # (W, 768)
                 R1 = jax.lax.dot_general(
-                    MT, hm, axes, preferred_element_type=f32).T  # (768,TILE)
+                    MT, hm, axes, preferred_element_type=f32)    # (768,TILE)
                 Ytile = jnp.concatenate([hs] * C, axis=0)
                 feats.append(_ysum(R1 * Ytile, C, res))
             fb = jnp.concatenate(feats, axis=0).astype(bf16)
 
-            oner = _ray_onehot_t(rid_ref[pl.ds(i, 1), sl], rpc, bf16)
+            oner = _ray_onehot_t(rid_ref[pl.ds(row, 1), :], rpc, bf16)
             dirt = jax.lax.dot_general(dob, oner, axes,
                                        preferred_element_type=f32)
             _, _, _, o1, o2 = _fwd_tail(fb, dirt, wbt_ref, bbt_ref,
                                         w1t_ref, w2t_ref)
-            sig_ref[pl.ds(i, 1), sl] = o1[0:1, :] + b1_ref[0, 0]
-            r_ref[pl.ds(i, 1), sl] = o2[0:1, :] + b2_ref[0, 1]
-            g_ref[pl.ds(i, 1), sl] = o2[1:2, :] + b2_ref[0, 1]
-            b_ref[pl.ds(i, 1), sl] = o2[2:3, :] + b2_ref[0, 2]
+            sig_ref[pl.ds(row, 1), :] = o1[0:1, :] + b1_ref[0, 0]
+            r_ref[pl.ds(row, 1), :] = o2[0:1, :] + b2_ref[0, 0]
+            g_ref[pl.ds(row, 1), :] = o2[1:2, :] + b2_ref[0, 1]
+            b_ref[pl.ds(row, 1), :] = o2[2:3, :] + b2_ref[0, 2]
         return 0
 
     jax.lax.fori_loop(0, subs, body, 0)
@@ -560,24 +574,32 @@ def triplane_decode_banded(planesT, x, y, z, rid, win, dir_out, wbt, bbt,
         subs //= 2
     hidden = wbt.shape[0]
     Gk = N // (SUB * subs)
-    packed, in_specs = _specs(S, Gk, subs, rpc, res, C, hidden)
-    in_specs[4] = pl.BlockSpec((1, 3, res, F), lambda s, c, w: (s, 0, 0, 0))
-    # index maps gain the scalar-prefetch ref as a trailing argument
-    in_specs = [pl.BlockSpec(sp.block_shape,
-                             (lambda im: lambda s, c, w: im(s, c))(
-                                 sp.index_map))
-                if i != 4 else sp for i, sp in enumerate(in_specs)]
-    out_spec = pl.BlockSpec((subs, SUB),
-                            lambda s, c, w: (s * Gk + c, 0))
-    out_shape = jax.ShapeDtypeStruct((S * N // SUB, SUB), jnp.float32)
+    nt = SUB // TILE
+    # per-tile packing: one sublane row per 128-sample tile (see kernel)
+    packed_t = pl.BlockSpec((subs * nt, TILE), lambda s, c, w: (s * Gk + c, 0))
+    in_specs = [
+        packed_t, packed_t, packed_t, packed_t,
+        pl.BlockSpec((1, 3, res, F), lambda s, c, w: (s, 0, 0, 0)),
+        pl.BlockSpec((subs * rpc, hidden), lambda s, c, w: (s * Gk + c, 0)),
+        pl.BlockSpec((hidden, 3 * C), lambda s, c, w: (0, 0)),
+        pl.BlockSpec((hidden, 1), lambda s, c, w: (0, 0)),
+        pl.BlockSpec((1, 128), lambda s, c, w: (0, 0)),
+        pl.BlockSpec((1, 128), lambda s, c, w: (0, 0)),
+        pl.BlockSpec((128, hidden), lambda s, c, w: (0, 0)),
+        pl.BlockSpec((128, hidden), lambda s, c, w: (0, 0)),
+    ]
+    out_shape = jax.ShapeDtypeStruct((S * N // TILE, TILE), jnp.float32)
     rid_full = _rid_or_default(rid, S, x.shape[1], K, rpc)
     dir_f = dir_out.reshape(S * N * rpc // SUB, hidden)
+
+    def pack_t(a):
+        return a.reshape(S * N // TILE, TILE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S, Gk),
         in_specs=in_specs,
-        out_specs=[out_spec] * 4,
+        out_specs=[packed_t] * 4,
     )
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel_banded, rpc=rpc, subs=subs, res=res,
@@ -585,8 +607,8 @@ def triplane_decode_banded(planesT, x, y, z, rid, win, dir_out, wbt, bbt,
         grid_spec=grid_spec,
         out_shape=[out_shape] * 4,
         interpret=interpret,
-    )(win, _pack(x, S, N), _pack(y, S, N), _pack(z, S, N),
-      _pack(rid_full, S, N), planesT, dir_f,
+    )(win.reshape(-1), pack_t(x), pack_t(y), pack_t(z),
+      pack_t(rid_full), planesT, dir_f,
       wbt, bbt, b1, b2, w1t, w2t)
     R = x.shape[1]
     return tuple(o.reshape(S, R, K) for o in outs)

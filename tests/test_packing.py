@@ -265,3 +265,92 @@ def test_pack_groups_banded_consistency():
     assert pb.shape == (S, G, P // 8, 3)
     np.testing.assert_array_equal(
         pb[..., 2] > 0.5, np.asarray(vb).reshape(S, G, P // 8, 8).any(-1))
+
+
+def _camera_scene(S=2, hw=16, grid=64, seed=0):
+    """Image-coherent rays (real camera), ball occupancy: the banded
+    decode's coherence assumptions hold, like eval/GUI renders."""
+    from ssdnerf_tpu.ops import get_cam_rays
+    from tests.synthetic import look_at_pose
+    key = jax.random.PRNGKey(seed)
+    code = 0.5 * jax.random.normal(key, (S, 3, 6, 128, 128))
+    coords = np.stack(np.meshgrid(*[np.arange(grid)] * 3, indexing='ij'),
+                      -1).reshape(-1, 3)
+    r2 = ((coords - grid / 2 + 0.5) ** 2).sum(-1)
+    occ = (r2 < (grid * 0.35) ** 2).astype(np.float32)
+    from ssdnerf_tpu.ops import packbits
+    bitfield = packbits(jnp.asarray(np.broadcast_to(occ, (S, grid ** 3))
+                                    .copy()), 0.5)
+    pose = look_at_pose(np.array([1.8, 0.6, 1.8]))
+    poses = jnp.asarray(np.broadcast_to(pose, (S, 1, 4, 4)).copy())
+    f = hw * 131.25 / 128
+    intr = jnp.asarray(np.broadcast_to(
+        np.array([f, f, hw / 2, hw / 2], np.float32), (S, 1, 4)).copy())
+    rays_o, rays_d = get_cam_rays(poses, intr, hw, hw)
+    return (code, rays_o.reshape(S, hw * hw, 3),
+            rays_d.reshape(S, hw * hw, 3), bitfield)
+
+
+def test_banded_render_engages_and_matches_plain_packed():
+    from ssdnerf_tpu.ops import near_far_from_aabb
+    from ssdnerf_tpu.ops.marching import (SQRT3, compact_samples, march_rays,
+                                          t_at_step)
+    from ssdnerf_tpu.ops.packing import (band_keys_and_payload,
+                                         pack_groups_banded, banded_windows)
+    from ssdnerf_tpu.ops.pallas.decode import BAND_W, TILE
+
+    code, rays_o, rays_d, bitfield = _camera_scene()
+    S, N = rays_o.shape[:2]
+    grid, K, P, GR, T = 64, 64, 512, 16, 256
+    dt_gamma = 0.5 / 131.25
+
+    # 1. the exactness guard must actually engage on this coherent scene
+    aabb = jnp.asarray([-1.0] * 3 + [1.0] * 3)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.2)
+    res = jax.vmap(lambda o, d, nr, fr, bf: march_rays(
+        o, d, nr, fr, bf, grid, 1.0, dt_gamma, T))(
+        rays_o, rays_d, nears, fars, bitfield)
+    comp_step, comp_valid = compact_samples(res.valid, K)
+    dt_min, dt_max = 2 * SQRT3 / T, 2 * SQRT3 / grid
+    dtg = jnp.full((S,), dt_gamma)
+    ts_src = t_at_step(nears, comp_step, dtg[:, None, None], dt_min, dt_max)
+    bandk, payload = band_keys_and_payload(
+        rays_o, rays_d, ts_src, comp_valid, 1.0, 128)
+    _, _, _, payload_b = pack_groups_banded(
+        comp_step, comp_valid, bandk, P, GR, block_payload=payload)
+    _, ok = banded_windows(payload_b, 128, BAND_W, TILE)
+    assert bool(ok), 'banded guard must engage on a coherent camera scene'
+
+    # 2. end-to-end: banded render == plain packed render
+    dec = TriPlaneDecoder(backend='pallas-interpret', compact_steps=K,
+                          pack_slots=P)
+    params = dec.init(jax.random.PRNGKey(1), code[:1],
+                      jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+    dec_b = dec.clone(banded_decode=True)
+    kwargs = dict(grid_size=grid, dt_gamma=dt_gamma, T_thresh=1e-4)
+    out = volume_render(dec, params, code, rays_o, rays_d, bitfield,
+                        **kwargs)
+    out_b = volume_render(dec_b, params, code, rays_o, rays_d, bitfield,
+                          **kwargs)
+    for k, atol in (('weights_sum', 2e-2), ('image', 2e-2), ('depth', 3e-2)):
+        np.testing.assert_allclose(np.asarray(out_b[k]), np.asarray(out[k]),
+                                   atol=atol, err_msg=k)
+
+
+def test_banded_render_falls_back_on_incoherent_rays():
+    """Scrambled rays break tile coherence: the guard must fall back to
+    the full-width kernel and still match the plain packed path."""
+    code, rays_o, rays_d, bitfield = _scene(seed=9, n_rays=64)
+    dec = TriPlaneDecoder(backend='pallas-interpret', compact_steps=64,
+                          pack_slots=512)
+    params = dec.init(jax.random.PRNGKey(1), code[:1],
+                      jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+    dec_b = dec.clone(banded_decode=True)
+    kwargs = dict(grid_size=64, dt_gamma=0.004, T_thresh=1e-4)
+    out = volume_render(dec, params, code, rays_o, rays_d, bitfield,
+                        **kwargs)
+    out_b = volume_render(dec_b, params, code, rays_o, rays_d, bitfield,
+                          **kwargs)
+    for k in ('weights_sum', 'image', 'depth'):
+        np.testing.assert_allclose(np.asarray(out_b[k]), np.asarray(out[k]),
+                                   atol=1e-5, err_msg=k)

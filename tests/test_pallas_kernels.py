@@ -142,3 +142,42 @@ def test_triplane_decode_grads_match_reference():
         scale = max(np.abs(b).max(), 1e-6)
         np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=4e-2,
                                    err_msg=n)
+
+
+def test_triplane_decode_banded_matches_reference():
+    """Windowed-hat banded forward kernel vs the oracle, on tile-coherent
+    coordinates whose hat rows fit the declared per-tile windows."""
+    from ssdnerf_tpu.ops.pallas.decode import (
+        triplane_decode_banded, BAND_W, TILE, SUB)
+    S, R, K, res, C, hidden = 2, 16, 64, 128, 6, 64
+    (planes, x, y, z, dir_out, wf, bbt, b1, b2, w1t, w2t, _K) = \
+        _decode_inputs(seed=11, S=S, R=R, K=K, res=res, C=C, hidden=hidden)
+    rng = np.random.RandomState(13)
+    N = R * K
+    n_tiles = N // TILE
+
+    # tile-coherent x/y: each 128-sample tile lives inside a BAND_W window
+    def windowed_coord(lo_all):
+        f = np.empty((S, n_tiles, TILE), np.float32)
+        for s in range(S):
+            for t in range(n_tiles):
+                lo = lo_all[s, t]
+                f[s, t] = rng.uniform(lo + 1.0, lo + BAND_W - 2.0, TILE)
+        return ((f + 0.5) * (2.0 / res) - 1.0).reshape(S, R, K)
+
+    lox = (rng.randint(0, (res - BAND_W) // 16 + 1, (S, n_tiles)) * 16)
+    loy = (rng.randint(0, (res - BAND_W) // 16 + 1, (S, n_tiles)) * 16)
+    x = jnp.asarray(windowed_coord(lox))
+    y = jnp.asarray(windowed_coord(loy))
+    win = jnp.asarray((lox | (loy << 8)).astype(np.int32)
+                      ).reshape(S * N // SUB, SUB // TILE)
+
+    planesT = planes.swapaxes(-1, -2)
+    outs = triplane_decode_banded(
+        planesT, x, y, z, None, win, dir_out, wf, bbt, b1, b2, w1t, w2t,
+        K, rpc=SUB // K, interpret=True)
+    refs = decode_reference(planes, x, y, z, dir_out, wf, bbt, b1, b2,
+                            w1t, w2t, K)
+    for o, r, name in zip(outs, refs, 'sigma r g b'.split()):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=3e-2, err_msg=name)

@@ -194,7 +194,9 @@ def main():
     dec_p = dec.clone(pack_slots=P)
 
     def full_packed_fn(eps, code, rays_o, rays_d, bitfield):
-        out = volume_render(dec_p, params, code + eps, rays_o, rays_d,
+        # rays perturbed too: otherwise XLA hoists the march prefix out
+        # of the timing loop (bench.py, PERF.md round-3 notes)
+        out = volume_render(dec_p, params, code + eps, rays_o + eps, rays_d,
                             bitfield, H, dt_gamma=0.5 / 131.25,
                             T_thresh=1e-4, step_chunk=4)
         return out['image'].sum()
@@ -207,7 +209,7 @@ def main():
         if args_cli.march_slots else dec
 
     def full_fn(eps, code, rays_o, rays_d, bitfield):
-        out = volume_render(dec_r, params, code + eps, rays_o, rays_d,
+        out = volume_render(dec_r, params, code + eps, rays_o + eps, rays_d,
                             bitfield, H, dt_gamma=0.5 / 131.25,
                             T_thresh=1e-4, step_chunk=4)
         return out['image'].sum()
