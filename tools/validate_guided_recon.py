@@ -46,13 +46,19 @@ def main(train_iters=800):
     S, V = 8, 6
     # guide/optim hyperparameters follow ssdnerf_cars_recons1v.py's
     # test_cfg, scaled to the 4096-ray batches used here
-    test_cfg = dict(base.test_cfg, num_timesteps=20, img_size=(64, 64),
+    test_cfg = dict(base.test_cfg, num_timesteps=50, img_size=(64, 64),
                     loss_coef=0.1 / (64 * 64), n_inverse_rays=4096,
                     n_inverse_steps=25, extra_scene_step=3,
                     dt_gamma_scale=0.5,
                     optimizer=dict(type='Adam', lr=5e-3),
                     lr_scheduler=dict(type='ExponentialLR', gamma=0.998),
                     guidance_gain=3.2 * 4096,
+                    # the reference's finetuning prior weight (c'_diff = 1,
+                    # recons1v test_cfg override_cfg); without it the
+                    # training-time weight_scale=4 over-weights the prior
+                    # 4x during optim and drags codes toward the prior mean
+                    override_cfg={
+                        'diffusion_ema.ddpm_loss.weight_scale': 1.0},
                     cond_mode='guide_optim')
     test_cfg.pop('march_slots', None)  # untrained grids are unpruned
     model = build_model(dict(base.model, cache_size=S), train_cfg=tc,
@@ -136,11 +142,12 @@ def main(train_iters=800):
         results[tag] = (psnr, dt, pred)
 
     key = jax.random.PRNGKey(5)
+    model.eval_mode()   # applies test_cfg.override_cfg (weight_scale=1)
     run_mode('uncond control (no guidance)',
              lambda: model.val_uncond(state, noise, key))
 
     model.test_cfg['cond_mode'] = 'guide'
-    run_mode('guide (DDIM-20 + render guide)',
+    run_mode('guide (DDIM-50 + render guide)',
              lambda: model.val_step(state, recon_data, key))
 
     model.test_cfg['cond_mode'] = 'guide_optim'
@@ -148,7 +155,7 @@ def main(train_iters=800):
              lambda: model.val_step(state, recon_data, key))
 
     base_psnr = results['uncond control (no guidance)'][0]
-    g_psnr = results['guide (DDIM-20 + render guide)'][0]
+    g_psnr = results['guide (DDIM-50 + render guide)'][0]
     go_psnr = results['guide_optim (guided DDIM + 25-step optim)'][0]
     assert g_psnr > base_psnr + 2.0, (g_psnr, base_psnr)
     assert go_psnr > base_psnr + 2.0, (go_psnr, base_psnr)
