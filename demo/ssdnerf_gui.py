@@ -20,6 +20,14 @@ def parse_args():
     parser.add_argument('--fp16', action='store_true',
                         help='bf16 diffusion sampling on TPU')
     parser.add_argument('--pose-path', default=None)
+    parser.add_argument('--cameras', default=None,
+                        help='SRN-format trajectory dir (intrinsics.txt + '
+                             'pose/*.txt) to initialize the camera from, '
+                             'as the reference GUI does (its demo ships '
+                             'demo/camera_spiral_cars; generate one with '
+                             'tools/make_camera_spiral.py)')
+    parser.add_argument('--camera-id', type=int, default=64,
+                        help='which pose of --cameras to start from')
     parser.add_argument('--seed', type=int, default=0)
     # headless options
     parser.add_argument('--scene', default=None,
@@ -179,6 +187,8 @@ def main():
     model, state = init_model(args.config, args.checkpoint,
                               use_fp16=args.fp16)
     viewer = SSDNeRFViewer(model, state)
+    if args.cameras:
+        viewer.load_camera_dir(args.cameras, camera_id=args.camera_id)
     try:
         import dearpygui.dearpygui  # noqa: F401
         has_gui = True

@@ -191,6 +191,28 @@ class SSDNeRFViewer:
         self.cam.radius = float(np.linalg.norm(pose[:3, 3] - self.cam.center))
         return pose
 
+    def load_camera_dir(self, path, camera_id=64):
+        """Initialize the camera from an SRN-format trajectory directory
+        (``intrinsics.txt`` + ``pose/*.txt``) the way the reference GUI
+        does (ssdnerf_gui.py:83-100: pick pose ``camera_id`` of the
+        sorted listing, scale translation into the unit-scene frame,
+        take fov from the intrinsics).  ``tools/make_camera_spiral.py``
+        generates such directories."""
+        import os
+        from ..data.shapenet_srn import load_intrinsics, load_pose
+        pose_dir = os.path.join(path, 'pose')
+        poses = sorted(os.listdir(pose_dir))
+        pose = np.asarray(
+            load_pose(os.path.join(pose_dir, poses[camera_id % len(poses)])),
+            np.float32).copy()
+        pose[:3, 3] *= 2.0  # SRN radius normalization (shapenet_srn.py)
+        fx, fy, cx, cy, h, w = load_intrinsics(
+            os.path.join(path, 'intrinsics.txt'))
+        self.cam.rot = pose[:3, :3]
+        self.cam.radius = float(np.linalg.norm(pose[:3, 3] - self.cam.center))
+        self.cam.fovy = float(np.degrees(2 * np.arctan(0.5 * h / fy)))
+        return pose
+
     def render_orbit_video(self, path, num_frames=60, fps=20, angle_amp=1.0):
         """Export an orbit video (the GUI's video export)."""
         import imageio

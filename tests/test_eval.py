@@ -110,6 +110,42 @@ def test_viewer_headless(model_state, tmp_path):
     np.testing.assert_allclose(np.linalg.norm(pose[:3, 3]), 2.0, atol=1e-5)
 
 
+def test_camera_spiral_dir_roundtrip(model_state, tmp_path):
+    """tools/make_camera_spiral.py output loads through the viewer's
+    --cameras path (reference GUI camera-dir init, ssdnerf_gui.py:83-100)
+    and the initialized camera reproduces the trajectory pose."""
+    import subprocess
+    import sys as _sys
+    from ssdnerf_tpu.core.gui import SSDNeRFViewer
+    model, state = model_state
+    cam_dir = str(tmp_path / 'spiral')
+    subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), 'tools', 'make_camera_spiral.py'),
+         cam_dir, '--frames', '8', '--size', '16', '--focal', '16.4'],
+        check=True)
+    viewer = SSDNeRFViewer(model, state, w=16, h=16)
+    pose = viewer.load_camera_dir(cam_dir, camera_id=3)
+    # camera radius = scaled trajectory radius (1.3 * 2), rotation taken
+    # from the pose file, fovy from intrinsics
+    np.testing.assert_allclose(viewer.cam.radius, 2.6, atol=1e-5)
+    np.testing.assert_allclose(viewer.cam.rot, pose[:3, :3], atol=1e-6)
+    assert 40 < viewer.cam.fovy < 60
+    # pose is a valid rigid transform looking at the origin
+    np.testing.assert_allclose(pose[:3, :3] @ pose[:3, :3].T, np.eye(3),
+                               atol=1e-6)
+    fwd = pose[:3, 2]
+    to_origin = -pose[:3, 3] / np.linalg.norm(pose[:3, 3])
+    np.testing.assert_allclose(fwd, to_origin, atol=1e-6)
+    # the viewer renders from it
+    code = 0.1 * jax.random.normal(jax.random.PRNGKey(2),
+                                   (1,) + model.code_size)
+    viewer.set_scene(code)
+    img = viewer.render_view()
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+
+
 def test_surround_views():
     from ssdnerf_tpu.core.camera import surround_views
     from synthetic import look_at_pose

@@ -44,10 +44,93 @@ def timeit(make_body, *args, tag=''):
     return dt
 
 
+def _prefix_mode(dec, params, code, rays_o0, rays_d, tab, dt_gamma,
+                 nears0, fars0, S, N, H, T, K, max_steps, dt_min, dt_max,
+                 int8_dot, P=512, GR=16):
+    """Prefix-marginal timing of the PACKED render pipeline (PERF.md
+    roofline).  Each prefix perturbs the rays so nothing upstream can be
+    hoisted out of the timing loop; the marginal between consecutive
+    prefixes is that stage's honest cost including the materialization
+    of its outputs for the next stage."""
+    from ssdnerf_tpu.models.decoders.renderer import _decode_fused
+    from ssdnerf_tpu.ops import near_far_from_aabb, pallas as pallas_ops
+    from ssdnerf_tpu.ops.marching import compact_samples, t_at_step
+    from ssdnerf_tpu.ops.packing import pack_groups, composite_packed
+
+    aabb = jnp.array([-dec.bound] * 3 + [dec.bound] * 3, jnp.float32)
+    dec_p = dec.clone(pack_slots=P)
+    G = N // GR
+    gps = 1024 // P
+    rpc = gps * GR
+
+    def stage(eps, upto):
+        ro = rays_o0 + eps
+        nears, fars = near_far_from_aabb(ro, rays_d, aabb, dec.min_near)
+        t0 = nears
+        pk = jnp.concatenate([ro, rays_d, t0[..., None], fars[..., None]],
+                             axis=-1)
+        valid = pallas_ops.march_valid_mask(
+            pk, tab, dt_gamma, T=T, grid_size=H, bound=dec.bound,
+            max_steps=max_steps, int8_dot=int8_dot)
+        if upto == 0:
+            return valid.sum()
+        cs, cv = compact_samples(valid > 0.5, K)
+        if upto == 1:
+            return cs.sum() + cv.sum()
+        pstep, pvalid, prid, soffs = pack_groups(cs, cv, P, GR)
+        if upto == 2:
+            return (pstep.sum() + pvalid.sum() + prid.sum() + soffs.sum())
+        rid_b = prid[..., ::8]
+        bsel = (rid_b[..., None] == jnp.arange(GR, dtype=jnp.int32)
+                ).astype(jnp.float32)
+        chans = jnp.concatenate([t0[..., None], ro, rays_d],
+                                axis=-1).reshape(S, G, GR, 7)
+        routed = jnp.einsum('sgdr,sgrc->sgdc', bsel, chans,
+                            precision=jax.lax.Precision.HIGHEST)
+        ps = lambda c: jnp.repeat(routed[..., c], 8, axis=-1)
+        dtg4 = dt_gamma[:, None, None, None]
+        pt = t_at_step(ps(0), pstep[..., None], dtg4,
+                       dt_min, dt_max)[..., 0]
+        pdt = jnp.clip(pt * dt_gamma[:, None, None], dt_min, dt_max)
+        xyz = jnp.stack(
+            [jnp.clip(ps(1 + c) + pt * ps(4 + c), -dec.bound, dec.bound)
+             for c in range(3)], axis=-1)
+        if upto == 3:
+            return pt.sum() + pdt.sum() + xyz.sum()
+        g_iota = jnp.arange(G, dtype=jnp.int32) % gps
+        rid_local = prid + GR * g_iota[None, :, None]
+        sigmas, rgb_ch = _decode_fused(dec_p, params, code + eps, xyz,
+                                       rays_d, P, False, rid=rid_local,
+                                       rpc=rpc)
+        if upto == 4:
+            return sigmas.sum() + sum(c.sum() for c in rgb_ch)
+        ws, depth, image = composite_packed(sigmas, rgb_ch, pdt, pt,
+                                            pvalid, prid, soffs, GR, 1e-4)
+        return ws.sum() + depth.sum() + image.sum()
+
+    tags = ['P0 march', 'P1 +compact', 'P2 +pack',
+            'P3 +prep(route/t/xyz)', 'P4 +decode', 'P5 +composite (full)']
+    ts_ = [timeit(lambda eps, u=u: stage(eps, u).astype(jnp.float32),
+                  tag=tags[u]) for u in range(6)]
+    print('marginals:',
+          '  '.join(f'{t}: {(b - a) * 1e3:+.2f} ms'
+                    for t, a, b in zip(tags[1:], ts_, ts_[1:])))
+    print(f'=> full packed pipeline {ts_[-1] * 1e3:.2f} ms = '
+          f'{S * N / ts_[-1] / 1e6:.2f} Mrays/s')
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--bf16-march', action='store_true')
     ap.add_argument('--march-slots', type=int, default=None)
+    ap.add_argument('--prefix', action='store_true',
+                    help='honest prefix-marginal timing: run progressively '
+                         'longer pipeline prefixes (march; +compact; +pack; '
+                         '+prep; +decode; +composite), all un-hoisted, and '
+                         'report the marginal cost of each stage.  Isolated '
+                         'stage timings (the default mode) let XLA fuse '
+                         'consumers into producers and can understate '
+                         'cross-stage materialization (PERF.md roofline).')
     args_cli = ap.parse_args()
 
     jax.config.update('jax_compilation_cache_dir',
@@ -93,6 +176,12 @@ def main():
     t0v = nears
     int8_dot = not args_cli.bf16_march
     print(f'march dtype: {"int8" if int8_dot else "bf16"}, T={T}, K={K}')
+
+    if args_cli.prefix:
+        _prefix_mode(dec, params, code, rays_o, rays_d, tab, dt_gamma,
+                     nears, fars, S, N, H, T, K, max_steps, dt_min, dt_max,
+                     int8_dot)
+        return
 
     def march_fn(eps, rays_o, rays_d, t0v, fars, tab, dt_gamma):
         pack = jnp.concatenate(
