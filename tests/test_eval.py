@@ -84,6 +84,31 @@ def test_interp_api(model_state):
         model, state, num_intermediate=1, batch_size=1)
     assert code.shape == (3,) + model.code_size
     assert np.isfinite(np.asarray(code)).all()
+    code_s, _, _ = interp_diffusion_nerf_ddim(
+        model, state, num_intermediate=1, batch_size=1,
+        interp_type='spherical_linear')
+    assert code_s.shape == (3,) + model.code_size
+    assert np.isfinite(np.asarray(code_s)).all()
+
+
+def test_interp_noise_math():
+    """slerp endpoints are exact; intermediates keep ~unit norm (the
+    reference's spherical_linear, inference.py:75-80), unlike linear
+    interpolation whose midpoint norm collapses by ~sqrt(2)."""
+    from ssdnerf_tpu.apis.inference import interp_noise
+    key = jax.random.PRNGKey(0)
+    ends = jax.random.normal(key, (2, 4, 16, 16))
+    for t in ('linear', 'spherical_linear'):
+        out = np.asarray(interp_noise(ends, 5, t))
+        np.testing.assert_allclose(out[0], np.asarray(ends[0]), atol=1e-5)
+        np.testing.assert_allclose(out[-1], np.asarray(ends[1]), atol=1e-5)
+    slerp = np.asarray(interp_noise(ends, 5, 'spherical_linear'))
+    lin = np.asarray(interp_noise(ends, 5, 'linear'))
+    n_ref = np.linalg.norm(np.asarray(ends[0]))
+    n_slerp = np.linalg.norm(slerp[2])
+    n_lin = np.linalg.norm(lin[2])
+    assert abs(n_slerp - n_ref) / n_ref < 0.1
+    assert n_lin < 0.85 * n_ref
 
 
 def test_viewer_headless(model_state, tmp_path):
