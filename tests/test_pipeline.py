@@ -96,6 +96,40 @@ def test_all_reference_configs_load_and_build():
                 assert cfg.name == m.group(1), (path, cfg.name, m.group(1))
 
 
+def test_make_synthetic_srn_roundtrip(tmp_path):
+    """tools/make_synthetic_srn.py output loads through ShapeNetSRN with
+    images and poses intact (pose translation survives the raw-frame /
+    scene-frame rescale round trip)."""
+    import subprocess
+    import sys as _sys
+    out = str(tmp_path / 'srn')
+    subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), 'tools', 'make_synthetic_srn.py'),
+         out, '--scenes', '2', '--views', '3', '--size', '16'],
+        check=True)
+    from ssdnerf_tpu.data import ShapeNetSRN
+    from synthetic import make_sphere_batch
+    ref = make_sphere_batch(num_scenes=2, num_views=3, h=16, w=16)
+    ds = ShapeNetSRN(data_prefix=out, num_test_imgs=1)
+    assert len(ds) == 2
+    item = ds[0]
+    # poses round-trip into the scene frame the generator rendered in
+    got = np.concatenate([np.asarray(item['cond_poses']),
+                          np.asarray(item['test_poses'])], axis=0)
+    np.testing.assert_allclose(
+        np.sort(got[:, :3, 3].sum(-1)),
+        np.sort(ref['cond_poses'][0, :, :3, 3].sum(-1)), atol=1e-4)
+    # images survive the png round trip
+    imgs = np.concatenate([np.asarray(item['cond_imgs']),
+                           np.asarray(item['test_imgs'])], axis=0)
+    assert imgs.shape == (3, 16, 16, 3)
+    diffs = [np.abs(imgs - ref['cond_imgs'][0, v]).mean(axis=(1, 2, 3)).min()
+             for v in range(3)]
+    assert max(diffs) < 0.02, diffs
+
+
 def test_srn_dataset(srn_root):
     from ssdnerf_tpu.data import ShapeNetSRN
     ds = ShapeNetSRN(data_prefix=srn_root, num_test_imgs=1)
