@@ -250,6 +250,18 @@ def main():
     except Exception as e:  # secondary stat must never break the bench
         print(f'[bench] ddim bench skipped: {e}', file=sys.stderr)
 
+    print(json.dumps(format_metrics(rays_per_sec, ddim_steps_per_sec,
+                                    rays_per_sec_pruned)))
+
+
+def format_metrics(rays_per_sec, ddim_steps_per_sec=None,
+                   rays_per_sec_pruned=None):
+    """Build the one-line JSON the driver records (BENCH_r*.json).
+
+    Top-level fields carry the primary metric; ``all_metrics`` carries
+    every measured metric with its own ``vs_baseline``.  Unit-tested so
+    the externally-parsed schema cannot silently regress.
+    """
     metrics = [{
         'metric': 'render_rays_per_sec_128res',
         'value': round(rays_per_sec, 1),
@@ -274,7 +286,7 @@ def main():
         })
     out = dict(metrics[0])
     out['all_metrics'] = metrics
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == '__main__':

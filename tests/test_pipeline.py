@@ -305,3 +305,28 @@ def test_dataloader_disjoint_batches(srn_root):
     with pytest.raises(RuntimeError, match='disjoint'):
         next(it)
     strict.close()
+
+
+def test_bench_json_schema():
+    """bench.py's driver-facing JSON line: primary metric at top level,
+    every metric in all_metrics with its own vs_baseline (VERDICT r2 #3
+    required both north-star metrics to be machine-parsed)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'bench', os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'bench.py'))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    out = bench.format_metrics(2.7e6, 70.0, 3.4e6)
+    assert out['metric'] == 'render_rays_per_sec_128res'
+    assert out['value'] == 2.7e6 and out['unit'] == 'rays/s'
+    assert 0 < out['vs_baseline'] < 1
+    names = [m['metric'] for m in out['all_metrics']]
+    assert names == ['render_rays_per_sec_128res', 'ddim_steps_per_sec',
+                     'render_rays_per_sec_pruned']
+    assert all('vs_baseline' in m and 'unit' in m
+               for m in out['all_metrics'])
+    # secondary metrics are optional (they must never break the bench)
+    out2 = bench.format_metrics(1.0e6)
+    assert [m['metric'] for m in out2['all_metrics']] == \
+        ['render_rays_per_sec_128res']
