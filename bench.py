@@ -38,7 +38,11 @@ BASELINE_RAYS_PER_SEC = 1.0e7
 # the bar is set between the two scalings.
 BASELINE_DDIM_STEPS_PER_SEC = 140.0
 
-RTT = 0.030  # axon remote backend fixed dispatch+readback cost (PERF.md)
+# axon remote backend fixed dispatch+readback cost; MEASURED per run (an
+# empty jitted scalar readback, median of 9) rather than hard-coded so the
+# recorded numbers are self-describing if the tunnel drifts (the JSON line
+# carries the value as ``rtt_ms``).
+RTT = None
 
 
 def _timeit(fn, *args, n_rep=3, sub_iters=1):
@@ -81,6 +85,11 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
+    from ssdnerf_tpu.core.timing import measure_rtt
+    global RTT
+    RTT = measure_rtt()
+    print(f'[bench] measured dispatch+readback RTT: {RTT * 1e3:.1f} ms',
+          file=sys.stderr)
     from ssdnerf_tpu.config import Config
     from ssdnerf_tpu.registry import build_model
     from ssdnerf_tpu.models.decoders.renderer import volume_render
@@ -251,16 +260,18 @@ def main():
         print(f'[bench] ddim bench skipped: {e}', file=sys.stderr)
 
     print(json.dumps(format_metrics(rays_per_sec, ddim_steps_per_sec,
-                                    rays_per_sec_pruned)))
+                                    rays_per_sec_pruned, rtt=RTT)))
 
 
 def format_metrics(rays_per_sec, ddim_steps_per_sec=None,
-                   rays_per_sec_pruned=None):
+                   rays_per_sec_pruned=None, rtt=None):
     """Build the one-line JSON the driver records (BENCH_r*.json).
 
     Top-level fields carry the primary metric; ``all_metrics`` carries
-    every measured metric with its own ``vs_baseline``.  Unit-tested so
-    the externally-parsed schema cannot silently regress.
+    every measured metric with its own ``vs_baseline``; ``rtt_ms`` the
+    per-run measured dispatch+readback cost every timing subtracted, so
+    the recorded file is self-describing.  Unit-tested so the
+    externally-parsed schema cannot silently regress.
     """
     metrics = [{
         'metric': 'render_rays_per_sec_128res',
@@ -286,6 +297,8 @@ def format_metrics(rays_per_sec, ddim_steps_per_sec=None,
         })
     out = dict(metrics[0])
     out['all_metrics'] = metrics
+    if rtt is not None:
+        out['rtt_ms'] = round(rtt * 1e3, 2)
     return out
 
 

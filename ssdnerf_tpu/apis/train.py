@@ -71,7 +71,8 @@ def train_model(cfg, work_dir=None, resume_from=None, seed=0, rank=0,
         strict_disjoint=getattr(model, 'num_file_writers', 0) > 0)
 
     txs, schedules = build_optimizers(model, cfg.get('optimizer', {}),
-                                     cfg.get('lr_config'))
+                                     cfg.get('lr_config'),
+                                     max_iters=cfg.get('total_iters'))
     state = model.init_state(jax.random.PRNGKey(seed),
                              cfg.get('optimizer', {}),
                              lr_schedules=schedules) \

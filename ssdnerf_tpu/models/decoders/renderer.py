@@ -188,17 +188,32 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
         fars = jnp.minimum(fars, fb)
         num_slots = march_slots
 
+    # Background-sphere branch (torch-ngp ``bg_radius`` surface, stored by
+    # the reference at base_volume_renderer.py:15-23): rays that exit the
+    # scene hit a sphere of radius bg_radius; their (theta, phi) sphere
+    # coordinates parameterize a background shading model.  The reference's
+    # stripped-down renderer keeps the attribute and the sph_from_ray kernel
+    # but no bg net, so the faithful capability here is the geometry:
+    # ``bg_coords`` rides the render output for any caller's background
+    # model, and the final blend stays ``image + (1 - weights_sum) * bg``.
+    def with_bg(out):
+        if getattr(decoder, 'bg_radius', -1.0) > 0:
+            from ...ops import sph_from_ray
+            out['bg_coords'] = sph_from_ray(rays_o, rays_d,
+                                            decoder.bg_radius)
+        return out
+
     compact_steps = getattr(decoder, 'compact_steps', None)
     backend = _resolve_backend(decoder, N, compact_steps, grid_size)
     if backend != 'xla':
         if occ_table is None or occ_table.shape[-1] != grid_size * 4:
             occ_table = pallas_ops.occupancy_table(density_bitfield,
                                                    grid_size)
-        return _volume_render_fused(
+        return with_bg(_volume_render_fused(
             decoder, params, code, rays_o, rays_d, occ_table,
             grid_size, nears, fars, dt_gamma, noise, num_slots, max_steps,
             compact_steps, T_thresh, deterministic, dropout_key,
-            interpret=(backend == 'pallas-interpret'))
+            interpret=(backend == 'pallas-interpret')))
 
     march = jax.vmap(
         lambda o, d, nr, fr, bf, dg, nz: march_rays(
@@ -253,7 +268,7 @@ def volume_render(decoder, params, code, rays_o, rays_d, density_bitfield,
 
     weights_sum, depth, image = composite_rays(
         sigmas, rgbs, res.dts, res.ts, res.valid, T_thresh)
-    return dict(weights_sum=weights_sum, depth=depth, image=image)
+    return with_bg(dict(weights_sum=weights_sum, depth=depth, image=image))
 
 
 def _volume_render_fused(decoder, params, code, rays_o, rays_d,

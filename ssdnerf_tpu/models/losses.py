@@ -11,6 +11,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -113,9 +114,13 @@ class DDPMMSELoss:
         new_state = state
         if self.scale_norm:
             if update_norm:
-                norm = jnp.mean(jnp.square(x_0))
+                norm = jnp.mean(jnp.square(jax.lax.stop_gradient(x_0)))
                 new_state = (1 - self.momentum) * state + self.momentum * norm
-            loss = loss / state[0]
+            # the reference updates the EMA buffer BEFORE dividing
+            # (ddpm_loss.py:91-113: norm_factor[:] = ... then loss /= it),
+            # so the divisor is the UPDATED factor — caught by the
+            # round-4 torch train-step parity harness
+            loss = loss / jax.lax.stop_gradient(new_state[0])
         log_vars['loss_ddpm_mse'] = loss
         return loss, new_state, log_vars
 

@@ -81,10 +81,11 @@ def test_ddpm_loss_scale_norm():
     t = jnp.array([0, 3, 6, 9])
     loss, new_state, logs = loss_mod(pred, target, t, x0, state,
                                      update_norm=True)
-    # per-sample 0.5*1*w(=1)*2 = 1 -> mean 1; divided by old norm 1
-    assert float(loss) == pytest.approx(1.0, rel=1e-5)
     # norm EMA: 0.5*1 + 0.5*mean(x0^2)=0.5+2=2.5
     assert float(new_state[0]) == pytest.approx(2.5, rel=1e-5)
+    # per-sample 0.5*1*w(=1)*2 = 1 -> mean 1; divided by the UPDATED norm
+    # (reference updates the buffer before dividing, ddpm_loss.py:91-113)
+    assert float(loss) == pytest.approx(1.0 / 2.5, rel=1e-5)
     assert 'loss_ddpm_mse' in logs and 'loss_mse_quartile_0' in logs
 
 

@@ -252,3 +252,43 @@ def test_march_slots_with_occupied_box():
                                np.array(out_b['image']), atol=0.06)
     # rays missing the occupied box are exactly empty in both
     assert float(out_b['weights_sum'].min()) >= 0.0
+
+
+def test_bg_radius_sphere_coords():
+    """bg_radius > 0 routes sph_from_ray through the renderer: the output
+    carries (theta, phi) of each ray's far background-sphere intersection
+    (torch-ngp bg surface; the reference stores the attribute at
+    base_volume_renderer.py:15-23 and ships the sph_from_ray kernel)."""
+    class BgDecoder(ConstDecoder):
+        bg_radius: float = 3.0
+
+    dec = BgDecoder(sigma=1.0)
+    params = dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 2, 4, 4)),
+                      jnp.zeros((1, 4, 3)), jnp.zeros((1, 4, 3)))
+    o = np.zeros((1, 4, 3), np.float32)
+    o[..., 2] = -2.0
+    d = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (1, 4, 1))
+    out = volume_render(dec, params, jnp.zeros((1, 3, 2, 4, 4)),
+                        jnp.array(o), jnp.array(d), _full_bitfield(1, 8), 8)
+    assert 'bg_coords' in out and out['bg_coords'].shape == (1, 4, 2)
+    # +z rays from (0,0,-2) hit the r=3 sphere at (0,0,3): theta =
+    # atan2(0, 3)/pi*2 - 1 = -1, phi = atan2(0, 0)/pi = 0
+    np.testing.assert_allclose(np.asarray(out['bg_coords'][0, :, 0]), -1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out['bg_coords'][0, :, 1]), 0.0,
+                               atol=1e-5)
+    # oracle: intersection point actually lies on the sphere
+    from ssdnerf_tpu.ops import sph_from_ray
+    b = np.sum(o * d, -1)
+    c = np.sum(o * o, -1) - 9.0
+    t = -b + np.sqrt(b * b - c)
+    p = o + t[..., None] * d
+    np.testing.assert_allclose(np.linalg.norm(p, axis=-1), 3.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sph_from_ray(jnp.array(o), jnp.array(d), 3.0)),
+        np.asarray(out['bg_coords']), atol=1e-6)
+    # default bg_radius (-1) leaves the output surface unchanged
+    dec0 = ConstDecoder(sigma=1.0)
+    out0 = volume_render(dec0, params, jnp.zeros((1, 3, 2, 4, 4)),
+                         jnp.array(o), jnp.array(d), _full_bitfield(1, 8), 8)
+    assert 'bg_coords' not in out0

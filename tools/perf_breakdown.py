@@ -20,7 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-RTT = 0.030
+from ssdnerf_tpu.core.timing import measure_rtt
+RTT = measure_rtt()  # per-run measured dispatch+readback cost
 N_ITERS = 10
 
 

@@ -18,6 +18,8 @@ from ssdnerf_tpu.config import Config
 from ssdnerf_tpu.registry import build_model
 from ssdnerf_tpu.models.autodecoders.base import adam_init
 from synthetic import make_batch
+from ssdnerf_tpu.core.timing import measure_rtt
+RTT = measure_rtt()  # per-run measured dispatch+readback cost
 
 ess = int(sys.argv[1]) if len(sys.argv) > 1 else 15
 pack = len(sys.argv) > 2 and sys.argv[2] == 'pack'
@@ -60,5 +62,5 @@ t0 = time.perf_counter()
 for i in range(n):
     state, batch, logs = step(state, batch, data, jax.random.fold_in(k0, i))
 _ = float(logs['loss_diffusion'])
-dt = (time.perf_counter() - t0 - 0.030) / n
+dt = (time.perf_counter() - t0 - RTT) / n
 print(f'train_step ess={ess} pack={pack}: {dt*1e3:.1f} ms/step = {1/dt:.2f} it/s', flush=True)
