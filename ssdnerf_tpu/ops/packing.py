@@ -68,9 +68,23 @@ def band_keys_and_payload(rays_o, rays_d, ts_src, comp_valid, bound, res,
 
     fxmin, fxmax = block_minmax(0)
     fymin, fymax = block_minmax(1)
-    bandk = jnp.clip(
-        ((fxmin + fxmax) * (0.5 * num_bands / res)).astype(jnp.int32),
-        0, num_bands - 1)
+
+    def band_of(lo, hi):
+        return jnp.clip(((lo + hi) * (0.5 * num_bands / res)).astype(
+            jnp.int32), 0, num_bands - 1)
+
+    # 2-D Morton (x, y) band key: bit-interleaving keeps sort-adjacent
+    # blocks close in BOTH plane axes, so the per-tile windows the banded
+    # decode kernel needs (ops/pallas/decode.py) stay narrow in x AND y —
+    # x-only keys leave the y windows at full plane width and the
+    # exactness guard never passes on spatially spread samples.
+    bx = band_of(fxmin, fxmax)
+    by = band_of(fymin, fymax)
+    nbits = max(int(num_bands - 1).bit_length(), 1)
+    bandk = jnp.zeros_like(bx)
+    for b in range(nbits):
+        bandk = bandk | (((bx >> b) & 1) << (2 * b)) \
+                      | (((by >> b) & 1) << (2 * b + 1))
     payload = jnp.stack([fxmin, fxmax, fymin, fymax], -1)
     return bandk, payload
 
@@ -175,18 +189,19 @@ def pack_groups_banded(comp_step, comp_valid, band, budget, group_rays=16,
     dest_r = jnp.take(boffs, r_of_sb, axis=-1) + b_of_sb
     live = src_live & (dest_r < D)
 
-    # band-layout destinations: stable counting sort on the band key,
-    # over the SURVIVING blocks only — so both layouts hold exactly the
-    # same sample set (<= D blocks) and route-back is a bijection.
-    bandk = jnp.where(live, band.reshape(S, G, SB), num_bands)
-    is_b = (bandk[..., None, :]
-            == jnp.arange(num_bands, dtype=jnp.int32)[:, None])
-    is_bf = is_b.astype(jnp.float32)                  # (S, G, B, SB)
-    cnt_b = is_bf.sum(-1)                             # (S, G, B)
-    base_b = jnp.cumsum(cnt_b, -1) - cnt_b
-    rank_in_b = jnp.cumsum(is_bf, -1) - is_bf         # exclusive, per band
-    dest_b = jnp.einsum('sgbt,sgbt->sgt', is_bf,
-                        base_b[..., None] + rank_in_b).astype(jnp.int32)
+    # band-layout destinations: stable sort on the band key, over the
+    # SURVIVING blocks only — so both layouts hold exactly the same sample
+    # set (<= D blocks) and route-back is a bijection.  Rank is computed
+    # pairwise (dest_b[t] = #{u : (key_u, u) < (key_t, t)}), which is
+    # key-space independent — a counting sort's (S, G, B, SB) one-hot
+    # would grow 16x with the 256-value Morton keys; the (S, G, SB, SB)
+    # compare matrix is fused by XLA into the reduction.
+    bandk = jnp.where(live, band.reshape(S, G, SB), jnp.int32(1 << 30))
+    ku = bandk[..., :, None]                          # (S, G, SB(u), 1)
+    kt = bandk[..., None, :]                          # (S, G, 1, SB(t))
+    tie = sb[:, None] < sb[None, :]
+    prec = (ku < kt) | ((ku == kt) & tie)
+    dest_b = jnp.sum(prec, axis=-2).astype(jnp.int32)  # (S, G, SB)
     route_r = _route_from_dest(dest_r, live, D)
     route_b = _route_from_dest(dest_b, live, D)
 
