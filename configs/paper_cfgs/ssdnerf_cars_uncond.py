@@ -39,6 +39,11 @@ data = dict(
     train=dict(
         type=dataset_type,
         data_prefix='data/shapenet/cars_train',
+        # decoded-PNG RAM cache (~2.4 GB for cars_train as uint8): the
+        # loader sustains ~15 batches/s with it vs ~4 without
+        # (tools/loader_bench.py) — required to not starve the TPU at the
+        # ~114 ms/step flagship rate
+        cache_decoded=True,
         cache_path='data/shapenet/cars_train_cache.pkl'),
     val_uncond=dict(
         type=dataset_type,

@@ -65,6 +65,8 @@ def train_model(cfg, work_dir=None, resume_from=None, seed=0, rank=0,
     loader = DataLoader(
         dataset, batch_size=cfg.data.get('samples_per_gpu', 8),
         rank=rank, world_size=world_size,
+        num_workers=loader_cfg.get('num_workers',
+                                   cfg.data.get('workers_per_gpu', 0)),
         split_data=loader_cfg.get('split_data', True), seed=seed,
         # batch overlap corrupts optimizer state with in-flight filesystem
         # cache writes -> hard error in that mode (distributed_sampler.py:72)

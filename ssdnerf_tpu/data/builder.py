@@ -51,9 +51,17 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, rank=0, world_size=1,
                  split_data=True, shuffle=True, seed=0, prefetch=2,
-                 check_batch_disjoint=True, strict_disjoint=False):
+                 check_batch_disjoint=True, strict_disjoint=False,
+                 num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
+        # cfg `workers_per_gpu` lands here: a thread pool decodes the
+        # batch's scenes concurrently (cv2's PNG decode releases the GIL,
+        # so threads scale like the reference's worker processes without
+        # the pickling round-trip).  0 = decode inline on the prefetch
+        # thread.
+        self.num_workers = int(num_workers)
+        self._pool = None
         n = len(dataset)
         if split_data:
             split = np.round(np.linspace(0, n, world_size + 1)).astype(int)
@@ -137,7 +145,16 @@ class DataLoader:
                 if skipped < self._skip:
                     skipped += 1
                     continue
-                samples = [self.dataset[int(i)] for i in batch_ids]
+                if self.num_workers > 0:
+                    if self._pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
+                        self._pool = ThreadPoolExecutor(
+                            max_workers=self.num_workers)
+                    samples = list(self._pool.map(
+                        self.dataset.__getitem__,
+                        [int(i) for i in batch_ids]))
+                else:
+                    samples = [self.dataset[int(i)] for i in batch_ids]
                 self._queue.put(collate(samples))
         except Exception as exc:  # propagate to the consumer thread
             self._queue.put(exc)
@@ -154,3 +171,6 @@ class DataLoader:
 
     def close(self):
         self._stop.set()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None

@@ -35,6 +35,14 @@ def _imread_rgb(path):
     return img[..., ::-1].astype(np.float32) / 255.0
 
 
+def _imread_rgb_u8(path):
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return np.ascontiguousarray(img[..., ::-1])
+
+
 class ShapeNetSRN:
     def __init__(self,
                  data_prefix,
@@ -54,6 +62,7 @@ class ShapeNetSRN:
                  radius=0.5,
                  test_mode=False,
                  step=1,
+                 cache_decoded=False,
                  **kwargs):
         self.data_prefix = data_prefix
         self.code_dir = code_dir
@@ -72,6 +81,13 @@ class ShapeNetSRN:
         self.step = step
         self.radius = np.full(3, radius, np.float32)
         self.center = np.zeros(3, np.float32)
+        # Optional decoded-image RAM cache (VERDICT r4 #6): PNG decode is
+        # the loader's dominant cost and SRN-scale sets fit in host RAM as
+        # uint8 (cars_train: 2458 scenes x 50 views x 128^2 x 3 = 2.4 GB).
+        # Dict writes are atomic under the GIL, so the decode pool needs no
+        # lock; f32 conversion happens per read to keep the cache 4x small.
+        self.cache_decoded = bool(cache_decoded)
+        self._img_cache = {}
 
         self.load_scenes()
 
@@ -142,6 +158,15 @@ class ShapeNetSRN:
     def __len__(self):
         return self.num_scenes
 
+    def _read_img(self, path):
+        if self.cache_decoded:
+            u8 = self._img_cache.get(path)
+            if u8 is None:
+                u8 = _imread_rgb_u8(path)
+                self._img_cache[path] = u8
+            return u8.astype(np.float32) / 255.0
+        return _imread_rgb(path)
+
     def __getitem__(self, scene_id):
         scene = self.scenes[scene_id]
         results = dict(scene_id=scene_id, scene_name=self.scene_name(scene_id))
@@ -162,7 +187,7 @@ class ShapeNetSRN:
                         poses[i], np.float32)))
                     paths.append(image_paths[i])
                     if self.load_imgs:
-                        imgs.append(_imread_rgb(image_paths[i]))
+                        imgs.append(self._read_img(image_paths[i]))
                 out_imgs = np.stack(imgs) if imgs else None
                 return (out_imgs, np.stack(ps),
                         np.broadcast_to(intr, (len(img_ids), 4)).copy(),

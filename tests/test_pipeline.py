@@ -297,6 +297,15 @@ def test_dataloader_disjoint_batches(srn_root):
     assert got == ref_batches[5:], (got, ref_batches[5:])
     resumed.close()
 
+    # the decode thread pool (workers_per_gpu) changes neither batch order
+    # nor content — pool.map preserves index order
+    pooled = DataLoader(IdxDataset(), batch_size=2, shuffle=True, seed=11,
+                        num_workers=4)
+    it = iter(pooled)
+    got = [sorted(int(i) for i in next(it)['scene_id']) for _ in range(12)]
+    assert got == ref_batches, (got, ref_batches)
+    pooled.close()
+
     # strict mode raises when disjointness is impossible (shard <= batch)
     strict = DataLoader(IdxDataset(), batch_size=7, shuffle=True,
                         strict_disjoint=True)
