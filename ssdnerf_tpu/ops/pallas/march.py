@@ -76,9 +76,11 @@ def occupancy_table(density_bitfield, grid_size=64):
     return off.reshape(lead + (2 * H, 4 * H))
 
 
-def _march_kernel(ji_ref, gt_ref, out_ref, col_ref, row_ref, *, H, n_sub,
-                  sub, int8_dot):
+def _march_kernel(live_ref, ji_ref, gt_ref, out_ref, col_ref, row_ref, *,
+                  H, n_sub, sub, int8_dot, Cg):
     f32 = jnp.float32
+    s = pl.program_id(0)
+    c = pl.program_id(1)
     row256 = jax.lax.broadcasted_iota(jnp.int32, (4 * H, sub), 0)
     row128 = jax.lax.broadcasted_iota(jnp.int32, (2 * H, sub), 0)
     if int8_dot:
@@ -96,6 +98,17 @@ def _march_kernel(ji_ref, gt_ref, out_ref, col_ref, row_ref, *, H, n_sub,
     jbit = (jc & 7).astype(f32)
 
     def body(i, _):
+        # all-dead subs (ray tails past far, rays missing the scene /
+        # occupied AABB) skip the table matmul entirely — the epilogue's
+        # `where(live, ...)` zeroes their lanes whatever out_ref holds.
+        # Saves ~whole-sub MXU+VPU work on pruned scenes where many rays
+        # miss the occupied box (raymarching.cu's early `return` rays).
+        @pl.when(live_ref[(s * Cg + c) * n_sub + i] > 0)
+        def _do():
+            _march_sub(i)
+        return 0
+
+    def _march_sub(i):
         ohm = row256 == col_ref[pl.ds(i, 1), :]
         if int8_dot:
             oh = ohm.astype(jnp.int8)                     # (256, sub)
@@ -116,7 +129,6 @@ def _march_kernel(ji_ref, gt_ref, out_ref, col_ref, row_ref, *, H, n_sub,
             sel = (row128 == row_ref[pl.ds(i, 1), :]).astype(f32)
             b = jnp.sum(U * sel, axis=0, keepdims=True)
             out_ref[pl.ds(i, 1), :] = b + 128.0
-        return 0
 
     jax.lax.fori_loop(0, n_sub, body, 0)
 
@@ -184,18 +196,25 @@ def march_valid_mask(rays_pack, table, dt_gamma, *, T, grid_size, bound,
     n_sub = chunk // SUB
     Cg = N // chunk
 
-    out = pl.pallas_call(
-        functools.partial(_march_kernel, H=H, n_sub=n_sub, sub=SUB,
-                          int8_dot=int8_dot),
+    ji2 = ji.reshape(S * N // SUB, SUB)
+    sub_live = jnp.any(ji2 >= 0, axis=-1).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(S, Cg),
         in_specs=[
-            pl.BlockSpec((n_sub, SUB), lambda s, c: (s * Cg + c, 0)),
-            pl.BlockSpec((1, 2 * H, 4 * H), lambda s, c: (s, 0, 0)),
+            pl.BlockSpec((n_sub, SUB), lambda s, c, lv: (s * Cg + c, 0)),
+            pl.BlockSpec((1, 2 * H, 4 * H), lambda s, c, lv: (s, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((n_sub, SUB), lambda s, c: (s * Cg + c, 0)),
-        out_shape=jax.ShapeDtypeStruct((S * N // SUB, SUB), jnp.float32),
+        out_specs=pl.BlockSpec((n_sub, SUB),
+                               lambda s, c, lv: (s * Cg + c, 0)),
         scratch_shapes=[pltpu.VMEM((n_sub, SUB), jnp.int32),
                         pltpu.VMEM((n_sub, SUB), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_march_kernel, H=H, n_sub=n_sub, sub=SUB,
+                          int8_dot=int8_dot, Cg=Cg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S * N // SUB, SUB), jnp.float32),
         interpret=interpret,
-    )(ji.reshape(S * N // SUB, SUB), table)
+    )(sub_live, ji2, table)
     return out.reshape(S, R, T)
