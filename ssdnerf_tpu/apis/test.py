@@ -116,8 +116,14 @@ def evaluate_3d(model, state, dataset, batch_size=8, metrics=None,
         log_fn(f'evaluate_3d: {total} scenes done; '
                + ', '.join(f'{k}={float(v):.4f}' for k, v in log_vars.items()))
 
-    # multi-host: weighted all-reduce of the log vars so every process
-    # reports dataset-wide averages (lib/apis/test.py:58-69 all_reduce)
+    sums, weights = allgather_weighted_sums(sums, weights)
+    return {k: sums[k] / max(weights[k], 1) for k in sums}
+
+
+def allgather_weighted_sums(sums, weights):
+    """Multi-host weighted all-reduce of eval log vars: every process ends
+    up with the dataset-wide sums/weights (lib/apis/test.py:58-69
+    all_reduce).  No-op in single-process runs."""
     if jax.process_count() > 1 and sums:
         from jax.experimental import multihost_utils
         keys = sorted(sums)
@@ -128,4 +134,4 @@ def evaluate_3d(model, state, dataset, batch_size=8, metrics=None,
         agg = np.asarray(gathered).reshape(-1, 2 * len(keys)).sum(axis=0)
         sums = {k: float(agg[i]) for i, k in enumerate(keys)}
         weights = {k: float(agg[len(keys) + i]) for i, k in enumerate(keys)}
-    return {k: sums[k] / max(weights[k], 1) for k in sums}
+    return sums, weights

@@ -42,22 +42,10 @@ def _resolve_backend(decoder, num_rays, compact_steps, grid_size):
     return 'pallas-interpret' if interpret else 'pallas'
 
 
-def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
-                  deterministic=True, dropout_key=None, density_only=False,
-                  rid=None, rpc=None, band=None):
-    """Fused triplane decode: prep params/planes, call the Pallas kernel.
-
-    xyz: (S, R, K, 3) sample coords; rays_d: (S, R_rays, 3) with
-    R_rays = R (dense layout, rid None) or R*K*rpc/1024 (packed layout —
-    rid gives each sample's local ray id, ops/packing.py).
-    band: optional (win, conv) pair for the windowed banded kernel
-        (forward only): xyz/rid must then be in the band-sorted layout,
-        ``win`` is the per-tile window array of
-        pallas_ops.triplane_decode_banded and ``conv`` the
-        band->ray-layout block one-hot (ops/packing.py); outputs are
-        routed back so the return is in the ray layout either way.
-    Returns sigmas (S, R, K) and rgbs (S, R, K, 3) (None if density_only).
-    """
+def _prep_decode_operands(decoder, params, code, xyz, rays_d,
+                          deterministic, dropout_key, density_only=False):
+    """Shared operand prep for the fused decode kernels: plane rows,
+    transposed/padded MLP weights, per-ray direction-branch outputs."""
     p = params['params']
     S = code.shape[0]
     C = code.shape[2]
@@ -101,6 +89,44 @@ def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
         dir_out = (jnp.einsum('srf,fh->srh', sh, wdir,
                               preferred_element_type=jnp.float32)
                    + p['dir_net']['dense_0']['bias'])
+    return planes, x, y, z, wbt, bbt, b1, b2, w1t, w2t, dir_out
+
+
+def _decode_composite_fused(decoder, params, code, xyz, rays_d, pt, pdt,
+                            pvalid, pstart, K, T_thresh, interpret,
+                            rid=None, rpc=None, deterministic=True,
+                            dropout_key=None):
+    """Decode + composite in one kernel pass (forward only): returns
+    per-ray (weights_sum, depth, r, g, b), each (S, num_rays)."""
+    (planes, x, y, z, wbt, bbt, b1, b2, w1t,
+     w2t, dir_out) = _prep_decode_operands(
+        decoder, params, code, xyz, rays_d, deterministic, dropout_key)
+    return pallas_ops.triplane_decode_composite(
+        planes, x, y, z, rid, pt, pdt, pvalid, pstart, dir_out, wbt, bbt,
+        b1, b2, w1t, w2t, K, rpc, decoder.sigmoid_saturation, T_thresh,
+        interpret)
+
+
+def _decode_fused(decoder, params, code, xyz, rays_d, K, interpret,
+                  deterministic=True, dropout_key=None, density_only=False,
+                  rid=None, rpc=None, band=None):
+    """Fused triplane decode: prep params/planes, call the Pallas kernel.
+
+    xyz: (S, R, K, 3) sample coords; rays_d: (S, R_rays, 3) with
+    R_rays = R (dense layout, rid None) or R*K*rpc/1024 (packed layout —
+    rid gives each sample's local ray id, ops/packing.py).
+    band: optional (win, conv) pair for the windowed banded kernel
+        (forward only): xyz/rid must then be in the band-sorted layout,
+        ``win`` is the per-tile window array of
+        pallas_ops.triplane_decode_banded and ``conv`` the
+        band->ray-layout block one-hot (ops/packing.py); outputs are
+        routed back so the return is in the ray layout either way.
+    Returns sigmas (S, R, K) and rgbs (S, R, K, 3) (None if density_only).
+    """
+    (planes, x, y, z, wbt, bbt, b1, b2, w1t,
+     w2t, dir_out) = _prep_decode_operands(
+        decoder, params, code, xyz, rays_d, deterministic, dropout_key,
+        density_only)
     if band is not None:
         win, conv = band
         planesT = planes.swapaxes(-1, -2)
@@ -370,6 +396,30 @@ def _volume_render_fused(decoder, params, code, rays_o, rays_d,
         rid_local = prid + GR * g_iota[None, :, None]
         dec_kwargs = dict(deterministic=deterministic,
                           dropout_key=dropout_key, rpc=rpc)
+
+        # Fused decode+composite (forward-only, ops/pallas/decode.py
+        # _fwd_kernel_composite): sigma/rgb never leave VMEM; the kernel
+        # emits per-ray [weights_sum, depth, rgb] sums directly.  Training
+        # (anything needing the VJP) keeps the split path below.
+        if (getattr(decoder, 'fused_composite', False) and not banded
+                and rpc <= 128 and P & (P - 1) == 0):
+            D = P // 8
+            rid_b = prid[..., ::8]                          # (S, G, D)
+            db = jnp.arange(D, dtype=jnp.int32)
+            r_iota = jnp.arange(GR, dtype=jnp.int32)
+            onehot_r = (rid_b[..., None, :] == r_iota[:, None]).astype(
+                jnp.float32)                                # (S, G, Gr, D)
+            at_startB = ((soffs >> 3)[..., None] == db).astype(jnp.float32)
+            pstartB = jnp.einsum('sgrd,sgrd->sgd', onehot_r, at_startB)
+            slot0 = (jnp.arange(P, dtype=jnp.int32) % 8 == 0)
+            pstart = jnp.repeat(pstartB, 8, axis=-1) \
+                * slot0[None, None].astype(jnp.float32)
+            ws, dep, rr, gg, bb = _decode_composite_fused(
+                decoder, params, code, xyz, rays_d, pt, pdt,
+                pvalid.astype(jnp.float32), pstart, P, T_thresh,
+                interpret, rid=rid_local, **dec_kwargs)
+            return dict(weights_sum=ws, depth=dep,
+                        image=jnp.stack([rr, gg, bb], axis=-1))
 
         if banded:
             # Per-128-slot-tile plane windows from the routed block

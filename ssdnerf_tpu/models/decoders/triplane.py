@@ -91,6 +91,12 @@ class TriPlaneDecoder(nn.Module):
     # falls back to the full-width kernel via lax.cond (ops/packing.py,
     # ops/pallas/decode.py).
     banded_decode: bool = False
+    # fuse alpha-compositing into the decode kernel (fused packed backend,
+    # FORWARD-ONLY like banded_decode): sigma/rgb stay in VMEM and only
+    # per-ray sums leave the kernel — removes the ~11 ms/render of
+    # cross-stage HBM traffic the split decode->composite path pays
+    # (ops/pallas/decode.py _fwd_kernel_composite)
+    fused_composite: bool = False
     # renderer execution backend: 'auto' fuses the march/decode Pallas
     # kernels on TPU and falls back to pure XLA elsewhere; 'xla' forces the
     # fallback; 'pallas-interpret' runs the kernels interpreted (tests)

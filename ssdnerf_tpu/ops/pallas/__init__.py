@@ -8,8 +8,9 @@ activations, occupancy one-hots) stay in VMEM instead of round-tripping
 through HBM, which is what bounds the pure-XLA fallback path.
 """
 from .decode import (triplane_decode, triplane_decode_banded,
-                     decode_supported)
+                     triplane_decode_composite, decode_supported)
 from .march import march_valid_mask, occupancy_table, march_supported
 
-__all__ = ['triplane_decode', 'triplane_decode_banded', 'decode_supported',
+__all__ = ['triplane_decode', 'triplane_decode_banded',
+           'triplane_decode_composite', 'decode_supported',
            'march_valid_mask', 'occupancy_table', 'march_supported']

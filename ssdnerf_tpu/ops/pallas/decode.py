@@ -463,6 +463,142 @@ triplane_decode.defvjp(_fwd_rule, _bwd)
 
 
 # --------------------------------------------------------------------- #
+# fused decode + composite forward kernel
+# --------------------------------------------------------------------- #
+# The decode kernel's per-sample outputs (4 f32 arrays) and the separate
+# XLA composite stage cost ~11 ms of HBM traffic per flagship render
+# (PERF.md round-3 roofline): sigma/rgb are materialized to HBM only to be
+# re-read, exponentiated and reduced to per-ray sums.  This kernel keeps
+# them in registers: alpha-compositing (the packed-layout semantics of
+# ops/packing.py:composite_packed — group-wide optical-depth cumsum,
+# 8-aligned segment-base subtraction, T_thresh alive cutoff) happens right
+# after the MLP heads, and only (8, 128)-per-chunk per-ray sums
+# [weights_sum, depth, r, g, b] ever leave VMEM — a 32x output-traffic
+# cut.  Forward-only (eval/bench/GUI); training keeps the custom-VJP
+# kernels + XLA composite.
+# Matches kernel_composite_rays_train_forward
+# (/root/reference/lib/ops/raymarching/src/raymarching.cu:502-570).
+
+
+def _cumsum_lanes(x, seg):
+    """Inclusive cumsum along the lane axis of (rows, n), carries blocked
+    at multiples of ``seg`` (group boundaries).  log2(n) roll+add steps."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    sh = 1
+    while sh < seg:
+        rolled = pltpu.roll(x, sh, axis=1)
+        x = x + jnp.where((lane % seg) >= sh, rolled, 0.0)
+        sh *= 2
+    return x
+
+
+def _fwd_kernel_composite(x_ref, y_ref, z_ref, rid_ref, pt_ref, pdt_ref,
+                          pv_ref, pstart_ref, planes_ref, dirout_ref,
+                          wbt_ref, bbt_ref, b1_ref, b2_ref, w1t_ref,
+                          w2t_ref, out_ref, *, rpc, subs, res, C, hidden,
+                          P, sat, T_thresh):
+    f32 = jnp.float32
+
+    def body(i, _):
+        rid_row = rid_ref[pl.ds(i, 1), :]
+        oner = _ray_onehot_t(rid_row, rpc, jnp.bfloat16)
+        xk = x_ref[pl.ds(i, 1), :]
+        yk = y_ref[pl.ds(i, 1), :]
+        zk = z_ref[pl.ds(i, 1), :]
+        dob = dirout_ref[pl.ds(i * rpc, rpc), :].astype(jnp.bfloat16)
+        dirt = jax.lax.dot_general(dob, oner, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        pairs = _hat_pairs(xk, yk, zk, res)
+        fb = _sample_feats(pairs, planes_ref, C, res)
+        _, _, _, o1, o2 = _fwd_tail(fb, dirt, wbt_ref, bbt_ref, w1t_ref,
+                                    w2t_ref)
+        sig_raw = o1[0:1, :] + b1_ref[0, 0]
+
+        def rgb(c):
+            s = jax.nn.sigmoid(o2[c:c + 1, :] + b2_ref[0, c])
+            return s * (1.0 + 2.0 * sat) - sat
+
+        # ---- packed composite (composite_packed semantics, in VMEM) ----
+        pv = pv_ref[pl.ds(i, 1), :]
+        pdt = pdt_ref[pl.ds(i, 1), :]
+        pt = pt_ref[pl.ds(i, 1), :]
+        tau = jnp.where(pv > 0.5, jnp.exp(sig_raw) * pdt, 0.0)
+        excl = _cumsum_lanes(tau, P) - tau
+        # per-ray segment-start base, gathered without any transpose:
+        # (excl * is_start) reduced per ray -> (1, 128) lane-major vector,
+        # broadcast back to lanes through the same 128-row ray one-hot
+        oner128 = _ray_onehot_t(rid_row, 128, f32)
+        sb = excl * pstart_ref[pl.ds(i, 1), :]
+        base_r = jax.lax.dot_general(sb, oner128, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32)  # (1, 128)
+        base_lane = jax.lax.dot_general(
+            base_r, oner128, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                            # (1, n)
+        T_excl = jnp.exp(base_lane - excl)
+        alpha = 1.0 - jnp.exp(-tau)
+        w = jnp.where((pv > 0.5) & (T_excl >= T_thresh), alpha * T_excl,
+                      0.0)
+        A = jnp.concatenate(
+            [w, w * pt, w * rgb(0), w * rgb(1), w * rgb(2),
+             jnp.zeros((3,) + w.shape[1:], f32)], axis=0)          # (8, n)
+        sums = jax.lax.dot_general(A, oner128, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)  # (8, 128)
+        out_ref[pl.ds(i * 8, 8), :] = sums
+        return 0
+
+    jax.lax.fori_loop(0, subs, body, 0)
+
+
+def triplane_decode_composite(planes, x, y, z, rid, pt, pdt, pvalid,
+                              pstart, dir_out, wbt, bbt, b1, b2, w1t,
+                              w2t, K, rpc, sigmoid_saturation, T_thresh,
+                              interpret=False):
+    """Fused decode + alpha-composite (forward only).
+
+    Args beyond :func:`triplane_decode`:
+        pt, pdt: (S, R, K) f32 per-slot sample distance / step size.
+        pvalid: (S, R, K) f32 validity in {0, 1}.
+        pstart: (S, R, K) f32 in {0, 1}; 1 exactly at each ray's 8-aligned
+            packed segment-start slot (``soffs``), used to gather the
+            segment-base optical depth.
+    Returns:
+        (weights_sum, depth, r, g, b) each (S, n_chunks * rpc) f32 where
+        n_chunks = N // SUB; column k * rpc + r is local ray r of chunk k
+        (the ray-major packed order of ops/packing.py).
+    """
+    S, C, res, R, N, subs = _shapes(planes, x, K)
+    assert K & (K - 1) == 0, ('pack budget must be a power of two for the '
+                              'lane-cumsum carry blocking', K)
+    hidden = wbt.shape[0]
+    G = N // (SUB * subs)
+    packed, in_specs = _specs(S, G, subs, rpc, res, C, hidden)
+    in_specs = in_specs[:4] + [packed] * 4 + in_specs[4:]
+    rid_full = _rid_or_default(rid, S, R, K, rpc)
+    dir_f = dir_out.reshape(S * N * rpc // SUB, hidden)
+    out_shape = jax.ShapeDtypeStruct((S * N // SUB * 8, 128), jnp.float32)
+    out_spec = pl.BlockSpec((subs * 8, 128), lambda s, c: (s * G + c, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_composite, rpc=rpc, subs=subs,
+                          res=res, C=C, hidden=hidden, P=K,
+                          sat=float(sigmoid_saturation),
+                          T_thresh=float(T_thresh)),
+        grid=(S, G),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(_pack(x, S, N), _pack(y, S, N), _pack(z, S, N), _pack(rid_full, S, N),
+      _pack(pt, S, N), _pack(pdt, S, N), _pack(pvalid, S, N),
+      _pack(pstart, S, N), planes, dir_f, wbt, bbt, b1, b2, w1t, w2t)
+    n_chunks = N // SUB
+    out = out.reshape(S, n_chunks, 8, 128)[:, :, :5, :rpc]
+    out = out.transpose(0, 2, 1, 3).reshape(S, 5, n_chunks * rpc)
+    return tuple(out[:, c] for c in range(5))
+
+
+# --------------------------------------------------------------------- #
 # banded forward kernel (windowed hat contraction)
 # --------------------------------------------------------------------- #
 # With band-sorted packing (ops/packing.py:pack_groups_banded) every

@@ -354,3 +354,40 @@ def test_banded_render_falls_back_on_incoherent_rays():
     for k in ('weights_sum', 'image', 'depth'):
         np.testing.assert_allclose(np.asarray(out_b[k]), np.asarray(out[k]),
                                    atol=1e-5, err_msg=k)
+
+
+def test_fused_composite_render_matches_split():
+    """fused_composite=True (decode+composite in one kernel,
+    ops/pallas/decode.py:_fwd_kernel_composite) must reproduce the split
+    decode -> composite_packed path exactly on the same packed layout."""
+    code, rays_o, rays_d, bitfield = _scene(seed=7, n_rays=64)
+    kwargs = dict(grid_size=64, dt_gamma=0.004, T_thresh=1e-4)
+    dec = TriPlaneDecoder(backend='pallas-interpret', compact_steps=64,
+                          pack_slots=512)
+    params = dec.init(jax.random.PRNGKey(1), code[:1],
+                      jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+    dec_fc = dec.clone(fused_composite=True)
+
+    out = volume_render(dec, params, code, rays_o, rays_d, bitfield,
+                        **kwargs)
+    out_fc = volume_render(dec_fc, params, code, rays_o, rays_d, bitfield,
+                           **kwargs)
+    for k, atol in (('weights_sum', 1e-3), ('image', 1e-3), ('depth', 2e-3)):
+        np.testing.assert_allclose(np.asarray(out_fc[k]),
+                                   np.asarray(out[k]), atol=atol,
+                                   err_msg=k)
+    # camera scene too (different occupancy/ray structure, budget overflow)
+    code, rays_o, rays_d, bitfield = _camera_scene(S=2, hw=16)
+    kwargs = dict(grid_size=64, dt_gamma=0.5 / 131.25, T_thresh=1e-4)
+    dec = TriPlaneDecoder(backend='pallas-interpret', compact_steps=64,
+                          pack_slots=256)
+    params = dec.init(jax.random.PRNGKey(1), code[:1],
+                      jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)))
+    out = volume_render(dec, params, code, rays_o, rays_d, bitfield,
+                        **kwargs)
+    out_fc = volume_render(dec.clone(fused_composite=True), params, code,
+                           rays_o, rays_d, bitfield, **kwargs)
+    for k, atol in (('weights_sum', 1e-3), ('image', 1e-3), ('depth', 2e-3)):
+        np.testing.assert_allclose(np.asarray(out_fc[k]),
+                                   np.asarray(out[k]), atol=atol,
+                                   err_msg=k)

@@ -66,12 +66,16 @@ n_iters = 10
 
 def run_variant(name):
     kw = {}
+    P = 512 if march_slots is None else 256
     if name == 'xla':
         dec = model.decoder.clone(backend='xla', march_slots=march_slots)
     elif name == 'pallas':
-        dec = model.decoder.clone(pack_slots=512, march_slots=march_slots)
+        dec = model.decoder.clone(pack_slots=P, march_slots=march_slots)
+    elif name == 'fused':
+        dec = model.decoder.clone(pack_slots=P, fused_composite=True,
+                                  march_slots=march_slots)
     else:
-        dec = model.decoder.clone(pack_slots=512, banded_decode=True,
+        dec = model.decoder.clone(pack_slots=P, banded_decode=True,
                                   march_slots=march_slots)
 
     @jax.jit
