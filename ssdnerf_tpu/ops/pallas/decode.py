@@ -483,12 +483,22 @@ triplane_decode.defvjp(_fwd_rule, _bwd)
 def _cumsum_lanes(x, seg):
     """Inclusive cumsum along the lane axis of (rows, n), carries blocked
     at multiples of ``seg`` (group boundaries).  log2(n) roll+add steps."""
-    n = x.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     sh = 1
     while sh < seg:
         rolled = pltpu.roll(x, sh, axis=1)
         x = x + jnp.where((lane % seg) >= sh, rolled, 0.0)
+        sh *= 2
+    return x
+
+
+def _cummax_lanes(x, seg, neg=-1e30):
+    """Inclusive prefix-max along lanes, carries blocked at ``seg``."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    sh = 1
+    while sh < seg:
+        rolled = pltpu.roll(x, sh, axis=1)
+        x = jnp.maximum(x, jnp.where((lane % seg) >= sh, rolled, neg))
         sh *= 2
     return x
 
@@ -525,17 +535,16 @@ def _fwd_kernel_composite(x_ref, y_ref, z_ref, rid_ref, pt_ref, pdt_ref,
         pt = pt_ref[pl.ds(i, 1), :]
         tau = jnp.where(pv > 0.5, jnp.exp(sig_raw) * pdt, 0.0)
         excl = _cumsum_lanes(tau, P) - tau
-        # per-ray segment-start base, gathered without any transpose:
-        # (excl * is_start) reduced per ray -> (1, 128) lane-major vector,
-        # broadcast back to lanes through the same 128-row ray one-hot
-        oner128 = _ray_onehot_t(rid_row, 128, f32)
-        sb = excl * pstart_ref[pl.ds(i, 1), :]
-        base_r = jax.lax.dot_general(sb, oner128, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=f32)  # (1, 128)
-        base_lane = jax.lax.dot_general(
-            base_r, oner128, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)                            # (1, n)
+        # per-ray segment-start base WITHOUT matmuls: excl is a prefix sum
+        # of tau >= 0, hence non-decreasing within a group, so the base of
+        # a lane's segment (= excl at the most recent start lane) is the
+        # carry-blocked prefix-MAX of start-masked excl.  Lanes before any
+        # start (dead tails) get -1e30 and their T_excl underflows to 0 —
+        # already weight-masked by pvalid.
+        base_lane = _cummax_lanes(
+            jnp.where(pstart_ref[pl.ds(i, 1), :] > 0.5, excl, -1e30), P)
         T_excl = jnp.exp(base_lane - excl)
+        oner128 = _ray_onehot_t(rid_row, 128, f32)
         alpha = 1.0 - jnp.exp(-tau)
         w = jnp.where((pv > 0.5) & (T_excl >= T_thresh), alpha * T_excl,
                       0.0)

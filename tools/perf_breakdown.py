@@ -47,7 +47,7 @@ def timeit(make_body, *args, tag=''):
 
 def _prefix_mode(dec, params, code, rays_o0, rays_d, tab, dt_gamma,
                  nears0, fars0, S, N, H, T, K, max_steps, dt_min, dt_max,
-                 int8_dot, P=512, GR=16):
+                 int8_dot, P=512, GR=16, clip_box=None):
     """Prefix-marginal timing of the PACKED render pipeline (PERF.md
     roofline).  Each prefix perturbs the rays so nothing upstream can be
     hoisted out of the timing loop; the marginal between consecutive
@@ -67,6 +67,12 @@ def _prefix_mode(dec, params, code, rays_o0, rays_d, tab, dt_gamma,
     def stage(eps, upto):
         ro = rays_o0 + eps
         nears, fars = near_far_from_aabb(ro, rays_d, aabb, dec.min_near)
+        if clip_box is not None:   # march_slots occupied-AABB clipping
+            nb, fb = jax.vmap(
+                lambda o, d, b: near_far_from_aabb(o, d, b, dec.min_near)
+            )(ro, rays_d, clip_box)
+            nears = jnp.maximum(nears, nb)
+            fars = jnp.minimum(fars, fb)
         t0 = nears
         pk = jnp.concatenate([ro, rays_d, t0[..., None], fars[..., None]],
                              axis=-1)
@@ -109,10 +115,65 @@ def _prefix_mode(dec, params, code, rays_o0, rays_d, tab, dt_gamma,
                                             pvalid, prid, soffs, GR, 1e-4)
         return ws.sum() + depth.sum() + image.sum()
 
+    def stage_fused(eps):
+        # same pipeline but decode+composite in ONE kernel
+        # (_decode_composite_fused); comparable to stage(upto=5)
+        from ssdnerf_tpu.models.decoders.renderer import \
+            _decode_composite_fused
+        ro = rays_o0 + eps
+        nears, fars = near_far_from_aabb(ro, rays_d, aabb, dec.min_near)
+        if clip_box is not None:
+            nb, fb = jax.vmap(
+                lambda o, d, b: near_far_from_aabb(o, d, b, dec.min_near)
+            )(ro, rays_d, clip_box)
+            nears = jnp.maximum(nears, nb)
+            fars = jnp.minimum(fars, fb)
+        t0 = nears
+        pk = jnp.concatenate([ro, rays_d, t0[..., None], fars[..., None]],
+                             axis=-1)
+        valid = pallas_ops.march_valid_mask(
+            pk, tab, dt_gamma, T=T, grid_size=H, bound=dec.bound,
+            max_steps=max_steps, int8_dot=int8_dot)
+        cs, cv = compact_samples(valid > 0.5, K)
+        pstep, pvalid, prid, soffs = pack_groups(cs, cv, P, GR)
+        rid_b = prid[..., ::8]
+        bsel = (rid_b[..., None] == jnp.arange(GR, dtype=jnp.int32)
+                ).astype(jnp.float32)
+        chans = jnp.concatenate([t0[..., None], ro, rays_d],
+                                axis=-1).reshape(S, G, GR, 7)
+        routed = jnp.einsum('sgdr,sgrc->sgdc', bsel, chans,
+                            precision=jax.lax.Precision.HIGHEST)
+        ps = lambda c: jnp.repeat(routed[..., c], 8, axis=-1)
+        dtg4 = dt_gamma[:, None, None, None]
+        pt = t_at_step(ps(0), pstep[..., None], dtg4, dt_min, dt_max)[..., 0]
+        pdt = jnp.clip(pt * dt_gamma[:, None, None], dt_min, dt_max)
+        xyz = jnp.stack(
+            [jnp.clip(ps(1 + c) + pt * ps(4 + c), -dec.bound, dec.bound)
+             for c in range(3)], axis=-1)
+        g_iota = jnp.arange(G, dtype=jnp.int32) % gps
+        rid_local = prid + GR * g_iota[None, :, None]
+        D = P // 8
+        db = jnp.arange(D, dtype=jnp.int32)
+        r_iota = jnp.arange(GR, dtype=jnp.int32)
+        onehot_r = (rid_b[..., None, :] == r_iota[:, None]).astype(
+            jnp.float32)
+        at_startB = ((soffs >> 3)[..., None] == db).astype(jnp.float32)
+        pstartB = jnp.einsum('sgrd,sgrd->sgd', onehot_r, at_startB)
+        slot0 = (jnp.arange(P, dtype=jnp.int32) % 8 == 0)
+        pstart = jnp.repeat(pstartB, 8, axis=-1) \
+            * slot0[None, None].astype(jnp.float32)
+        ws, dep, rr, gg, bb = _decode_composite_fused(
+            dec_p, params, code + eps, xyz, rays_d, pt, pdt,
+            pvalid.astype(jnp.float32), pstart, P, 1e-4, False,
+            rid=rid_local, rpc=rpc)
+        return ws.sum() + dep.sum() + rr.sum() + gg.sum() + bb.sum()
+
     tags = ['P0 march', 'P1 +compact', 'P2 +pack',
             'P3 +prep(route/t/xyz)', 'P4 +decode', 'P5 +composite (full)']
     ts_ = [timeit(lambda eps, u=u: stage(eps, u).astype(jnp.float32),
                   tag=tags[u]) for u in range(6)]
+    timeit(lambda eps: stage_fused(eps).astype(jnp.float32),
+           tag='P5f fused decode+composite (full)')
     print('marginals:',
           '  '.join(f'{t}: {(b - a) * 1e3:+.2f} ms'
                     for t, a, b in zip(tags[1:], ts_, ts_[1:])))
@@ -124,6 +185,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--bf16-march', action='store_true')
     ap.add_argument('--march-slots', type=int, default=None)
+    ap.add_argument('--blob', action='store_true',
+                    help='pruned bench scenario: coherent blob occupancy '
+                         '+ occupied-AABB ray clipping (combine with '
+                         '--march-slots 128 --pack 256)')
+    ap.add_argument('--pack', type=int, default=512)
     ap.add_argument('--prefix', action='store_true',
                     help='honest prefix-marginal timing: run progressively '
                          'longer pipeline prefixes (march; +compact; +pack; '
@@ -157,7 +223,14 @@ def main():
     dec = TriPlaneDecoder(backend='auto', compact_steps=K)
     params = dec.init(key, code[:1], jnp.zeros((1, 8, 3)),
                       jnp.zeros((1, 8, 3)))
-    occ = jax.random.uniform(key, (S, H ** 3)) < 0.10
+    if args_cli.blob:
+        # pruned bench scenario: coherent blob + occupied-AABB ray clip
+        lin = np.arange(H ** 3)
+        cx = np.stack([lin // (H * H), (lin // H) % H, lin % H], -1)
+        ctr = (cx - H / 2 + 0.5) / (H / 2)
+        occ = jnp.asarray((ctr ** 2).sum(-1) < 0.55 ** 2)[None].repeat(S, 0)
+    else:
+        occ = jax.random.uniform(key, (S, H ** 3)) < 0.10
     bitfield = packbits(occ.astype(jnp.float32), 0.5)
 
     pose = look_at_pose(np.array([1.8, 0.6, 1.8]))
@@ -174,14 +247,26 @@ def main():
     tab = jax.jit(lambda b: pallas_ops.occupancy_table(b, H))(bitfield)
     aabb = jnp.array([-1.0] * 3 + [1.0] * 3, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.2)
+    if args_cli.blob and args_cli.march_slots:
+        from ssdnerf_tpu.ops.marching import occupied_aabb
+        box = jax.jit(lambda b: occupied_aabb(b, H, 1.0))(bitfield)
+        nb, fb = jax.vmap(
+            lambda o, d, b: near_far_from_aabb(o, d, b, 0.2)
+        )(rays_o, rays_d, box)
+        nears = jnp.maximum(nears, nb)
+        fars = jnp.minimum(fars, fb)
     t0v = nears
     int8_dot = not args_cli.bf16_march
     print(f'march dtype: {"int8" if int8_dot else "bf16"}, T={T}, K={K}')
 
     if args_cli.prefix:
+        clip_box = None
+        if args_cli.blob and args_cli.march_slots:
+            from ssdnerf_tpu.ops.marching import occupied_aabb
+            clip_box = jax.jit(lambda b: occupied_aabb(b, H, 1.0))(bitfield)
         _prefix_mode(dec, params, code, rays_o, rays_d, tab, dt_gamma,
                      nears, fars, S, N, H, T, K, max_steps, dt_min, dt_max,
-                     int8_dot)
+                     int8_dot, P=args_cli.pack, clip_box=clip_box)
         return
 
     def march_fn(eps, rays_o, rays_d, t0v, fars, tab, dt_gamma):

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Per-component timing of the flagship denoising UNet (VERDICT r4 #5).
+
+Times the full forward at batch 8 (the DDIM bench shape) and the
+individual building blocks at every level's shapes — 3x3 convs (f32 /
+bf16 / NCHW), GroupNorm, attention — so the DDIM steps/s gap can be
+attributed to a component instead of a guess.
+
+Usage: python tools/unet_probe.py [--full-only]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ssdnerf_tpu.core.timing import measure_rtt
+
+RTT = measure_rtt()
+N_IT = 10
+
+
+def timeit(fn, *args, tag=''):
+    @jax.jit
+    def run(eps, *args):
+        def body(i, acc):
+            out = fn(eps * i, *args)
+            return acc + jnp.sum(out) * 1e-30
+        return jax.lax.fori_loop(0, N_IT, body, jnp.float32(0.0))
+
+    z = jnp.float32(0.0)
+    float(run(z, *args))
+    dt = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(z, *args))
+        dt = min(dt, (time.perf_counter() - t0 - RTT) / N_IT)
+    print(f'{tag:46s} {dt * 1e3:8.3f} ms', flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--full-only', action='store_true')
+    ap.add_argument('--skip-full', action='store_true')
+    args = ap.parse_args()
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.expanduser('~/.cache/jax_comp_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+
+    from ssdnerf_tpu.models.architecture.unet import DenoisingUnet
+    B = 8
+    key = jax.random.PRNGKey(0)
+
+    if not args.skip_full:
+        for dtype in ('float32', 'bfloat16'):
+            net = DenoisingUnet(dtype=dtype)
+            x = jax.random.normal(key, (B, 128, 128, 18))
+            t = jnp.full((B,), 500, jnp.int32)
+            params = net.init(key, x, t)
+            dt = timeit(lambda eps, p, x, t: net.apply(p, x + eps, t),
+                        params, x, t, tag=f'full UNet fwd ({dtype})')
+            print(f'  -> {1.0 / dt:.1f} fwd/s = DDIM-step rate bound',
+                  flush=True)
+    if args.full_only:
+        return
+
+    # per-level conv shapes: (res, C_in, C_out); skip-concat inputs in dec
+    shapes = [
+        (128, 18, 128), (128, 128, 128), (128, 256, 128),
+        (64, 128, 256), (64, 256, 256), (64, 384, 256), (64, 512, 256),
+        (32, 256, 256), (32, 512, 256),
+        (16, 256, 512), (16, 512, 512), (16, 768, 512), (16, 1024, 512),
+        (8, 512, 512), (8, 1024, 512),
+    ]
+    for res, cin, cout in shapes:
+        x = jax.random.normal(key, (B, res, res, cin))
+        flops = 2 * B * res * res * 9 * cin * cout
+        for dtype in (jnp.float32, jnp.bfloat16):
+            conv = nn.Conv(cout, (3, 3), padding=1, dtype=dtype)
+            p = conv.init(key, x)
+            dt = timeit(lambda eps, p, x: conv.apply(p, x + eps), p, x,
+                        tag=f'conv3x3 {res}^2 {cin}->{cout} '
+                            f'{jnp.dtype(dtype).name}')
+            eff = flops / dt / (197e12 if dtype == jnp.bfloat16 else 99e12)
+            print(f'  -> {eff * 100:5.1f}% of MXU peak', flush=True)
+
+    # GroupNorm + SiLU at the big levels (HBM-bound candidates)
+    for res, c in ((128, 128), (128, 256), (64, 256), (64, 512)):
+        x = jax.random.normal(key, (B, res, res, c))
+        gn = nn.GroupNorm(num_groups=32)
+        p = gn.init(key, x)
+        dt = timeit(lambda eps, p, x: jax.nn.silu(gn.apply(p, x + eps)),
+                    p, x, tag=f'GN+SiLU {res}^2 c={c}')
+        gb = 2 * x.size * 4 / 1e9
+        print(f'  -> {gb / dt:.0f} GB/s effective', flush=True)
+
+    # attention at its levels
+    from ssdnerf_tpu.models.architecture.unet import SelfAttention
+    for res, c in ((32, 256), (16, 512), (8, 512)):
+        x = jax.random.normal(key, (B, res, res, c))
+        at = SelfAttention(4, 1, 32)
+        p = at.init(key, x)
+        timeit(lambda eps, p, x: at.apply(p, x + eps), p, x,
+               tag=f'attention {res}^2 c={c}')
+
+
+if __name__ == '__main__':
+    main()
