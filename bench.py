@@ -279,11 +279,19 @@ def main():
             diffusion = model.diffusion
             if autocast:
                 # true bf16 compute module (casting params alone leaves the
-                # f32 module dtype upcasting every conv input back)
+                # f32 module dtype upcasting every conv input back) AND a
+                # pre-cast param tree: an f32 tree under a bf16 module gets
+                # re-cast inside every scan step (~90 MB of weights/step —
+                # measured 64 vs 84 steps/s, tools/ddim_probe.py).  This
+                # mirrors the model's own _autocast (diffusion_nerf.py).
                 import dataclasses
                 diffusion = dataclasses.replace(
                     diffusion,
                     denoising=diffusion.denoising.clone(dtype='bfloat16'))
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, p)
+                x = x.astype(jnp.bfloat16)
 
             @jax.jit
             def sample(p, x, k):

@@ -96,8 +96,18 @@ class GaussianDiffusion:
         return x_0 * mean + noise * std, mean, std
 
     def _apply_unet(self, params, x_t, t, concat_cond=None, deterministic=True,
-                    dropout_key=None):
-        """NCHW in/out wrapper around the NHWC UNet."""
+                    dropout_key=None, nhwc=False):
+        """NCHW in/out wrapper around the NHWC UNet.
+
+        ``nhwc=True`` skips the layout transposes for callers that keep the
+        sampling chain NHWC-resident (ddim_sample/ddpm_sample): the NCHW
+        code layout has an 18-channel minor dim after transpose, which TPU
+        pads to 128 lanes — two such relayouts per sampler step measured
+        ~2 ms/step (tools/ddim_probe.py)."""
+        if nhwc:
+            rngs = {'dropout': dropout_key} if dropout_key is not None else {}
+            return self.denoising.apply(params, x_t, t, concat_cond=concat_cond,
+                                        deterministic=deterministic, rngs=rngs)
         h = jnp.transpose(x_t, (0, 2, 3, 1))
         cc = jnp.transpose(concat_cond, (0, 2, 3, 1)) \
             if concat_cond is not None else None
@@ -128,7 +138,7 @@ class GaussianDiffusion:
 
     def pred_x_0(self, params, x_t, t, grad_guide_fn=None, guide_state=None,
                  concat_cond=None, cfg=None, update_denoising_output=False,
-                 deterministic=True, dropout_key=None):
+                 deterministic=True, dropout_key=None, nhwc=False):
         """Predict x_0 from x_t, optionally applying reconstruction guidance
         (gaussian_diffusion.py:180-240).
 
@@ -152,7 +162,7 @@ class GaussianDiffusion:
 
         def x0_of_xt(x_t_in):
             out = self._apply_unet(params, x_t_in, t, concat_cond,
-                                   deterministic, dropout_key)
+                                   deterministic, dropout_key, nhwc=nhwc)
             x0 = self._x0_from_output(x_t_in, out, sqrt_ab, sqrt_1mab)
             return x0, out
 
@@ -273,12 +283,33 @@ class GaussianDiffusion:
         return (x_t - 0.5 * delta * sigma * eps_t_pred
                 + math.sqrt(delta) * sigma * noise), guide_state
 
+    def _to_nhwc_chain(self, noise, concat_cond, grad_guide_fn):
+        """Move the sampling chain to NHWC residency: the UNet is NHWC
+        internally, and NCHW<->NHWC relayouts of the (B, 18, H, W) code
+        cost ~1 ms each on TPU (18-channel minor dim pads to 128 lanes).
+        The chain transposes once at entry/exit instead of twice per step;
+        guide callbacks still see the public NCHW layout."""
+        noise = jnp.transpose(noise, (0, 2, 3, 1))
+        if concat_cond is not None:
+            concat_cond = jnp.transpose(concat_cond, (0, 1, 3, 4, 2))
+        if grad_guide_fn is not None:
+            inner = grad_guide_fn
+
+            def grad_guide_fn(x0, gstate):
+                return inner(jnp.transpose(x0, (0, 3, 1, 2)), gstate)
+        return noise, concat_cond, grad_guide_fn
+
     def ddim_sample(self, params, noise, key, cfg=None, concat_cond=None,
                     grad_guide_fn=None, guide_state=None,
                     save_intermediates=False, **kwargs):
         """Full DDIM chain as a lax.scan (gaussian_diffusion.py:295-331),
-        with optional interleaved Langevin correction steps."""
+        with optional interleaved Langevin correction steps.  The chain
+        runs NHWC-resident (see _to_nhwc_chain); inputs and outputs keep
+        the public NCHW code_diff_pr layout."""
         cfg = cfg or {}
+        noise, concat_cond, grad_guide_fn = self._to_nhwc_chain(
+            noise, concat_cond, grad_guide_fn)
+        kwargs['nhwc'] = True
         ts, t_prevs = self._timestep_seq(cfg)
         langevin_steps = cfg.get('langevin_steps', 0)
         lo, hi = cfg.get('langevin_t_range', [0, 1000])
@@ -329,8 +360,10 @@ class GaussianDiffusion:
         (x_final, guide_state, _), saved = jax.lax.scan(
             body, (noise, guide_state, key), xs)
         if save_intermediates:
+            saved = jax.tree_util.tree_map(
+                lambda a: jnp.transpose(a, (0, 1, 4, 2, 3)), saved)
             return saved, guide_state
-        return x_final, guide_state
+        return jnp.transpose(x_final, (0, 3, 1, 2)), guide_state
 
     def p_sample_ddpm(self, params, x_t, t, key, cfg=None, grad_guide_fn=None,
                       guide_state=None, concat_cond=None, **kwargs):
@@ -358,6 +391,9 @@ class GaussianDiffusion:
     def ddpm_sample(self, params, noise, key, cfg=None, concat_cond=None,
                     grad_guide_fn=None, guide_state=None, **kwargs):
         cfg = cfg or {}
+        noise, concat_cond, grad_guide_fn = self._to_nhwc_chain(
+            noise, concat_cond, grad_guide_fn)
+        kwargs['nhwc'] = True
         ts, _ = self._timestep_seq(cfg)
         num_cond = concat_cond.shape[1] if concat_cond is not None else 1
         cond_idx = np.arange(len(ts)) % num_cond
@@ -375,7 +411,7 @@ class GaussianDiffusion:
         (x_final, guide_state, _), _ = jax.lax.scan(
             body, (noise, guide_state, key),
             (jnp.asarray(ts), jnp.asarray(cond_idx)))
-        return x_final, guide_state
+        return jnp.transpose(x_final, (0, 3, 1, 2)), guide_state
 
     def sample_from_noise(self, params, noise, key, **kwargs):
         fn = {'ddim': self.ddim_sample, 'ddpm': self.ddpm_sample}[

@@ -63,7 +63,7 @@ def main():
             net = DenoisingUnet(dtype=dtype)
             x = jax.random.normal(key, (B, 128, 128, 18))
             t = jnp.full((B,), 500, jnp.int32)
-            params = net.init(key, x, t)
+            params = jax.jit(net.init)(key, x, t)
             dt = timeit(lambda eps, p, x, t: net.apply(p, x + eps, t),
                         params, x, t, tag=f'full UNet fwd ({dtype})')
             print(f'  -> {1.0 / dt:.1f} fwd/s = DDIM-step rate bound',
@@ -84,7 +84,7 @@ def main():
         flops = 2 * B * res * res * 9 * cin * cout
         for dtype in (jnp.float32, jnp.bfloat16):
             conv = nn.Conv(cout, (3, 3), padding=1, dtype=dtype)
-            p = conv.init(key, x)
+            p = jax.jit(conv.init)(key, x)
             dt = timeit(lambda eps, p, x: conv.apply(p, x + eps), p, x,
                         tag=f'conv3x3 {res}^2 {cin}->{cout} '
                             f'{jnp.dtype(dtype).name}')
@@ -95,7 +95,7 @@ def main():
     for res, c in ((128, 128), (128, 256), (64, 256), (64, 512)):
         x = jax.random.normal(key, (B, res, res, c))
         gn = nn.GroupNorm(num_groups=32)
-        p = gn.init(key, x)
+        p = jax.jit(gn.init)(key, x)
         dt = timeit(lambda eps, p, x: jax.nn.silu(gn.apply(p, x + eps)),
                     p, x, tag=f'GN+SiLU {res}^2 c={c}')
         gb = 2 * x.size * 4 / 1e9
@@ -106,7 +106,7 @@ def main():
     for res, c in ((32, 256), (16, 512), (8, 512)):
         x = jax.random.normal(key, (B, res, res, c))
         at = SelfAttention(4, 1, 32)
-        p = at.init(key, x)
+        p = jax.jit(at.init)(key, x)
         timeit(lambda eps, p, x: at.apply(p, x + eps), p, x,
                tag=f'attention {res}^2 c={c}')
 

@@ -46,7 +46,7 @@ def main(train_iters=800):
     S, V = 8, 6
     # guide/optim hyperparameters follow ssdnerf_cars_recons1v.py's
     # test_cfg, scaled to the 4096-ray batches used here
-    test_cfg = dict(base.test_cfg, num_timesteps=50, img_size=(64, 64),
+    test_cfg = dict(base.test_cfg, num_timesteps=75, img_size=(64, 64),
                     loss_coef=0.1 / (64 * 64), n_inverse_rays=4096,
                     n_inverse_steps=25, extra_scene_step=3,
                     dt_gamma_scale=0.5,
@@ -65,7 +65,11 @@ def main(train_iters=800):
                         test_cfg=test_cfg)
 
     # ---------------- stage 0: quick single-stage training -------------
-    data_np = make_sphere_batch(num_scenes=S, num_views=V, h=64, w=64)
+    # ss=4 anti-aliases the ground truth (hard silhouettes alone cap
+    # novel-view PSNR at ~21 dB regardless of recon quality); texture
+    # adds the latitude-band family (VERDICT r4 #9 "higher-texture")
+    data_np = make_sphere_batch(num_scenes=S, num_views=V, h=64, w=64,
+                                ss=4, texture=True)
     data = {k: jnp.asarray(v) for k, v in data_np.items()
             if k != 'scene_name'}
     opt_cfgs = dict(diffusion=dict(type='Adam', lr=2e-4),
@@ -105,7 +109,7 @@ def main(train_iters=800):
     # ---------------- held-out single-view reconstruction --------------
     S_test = 4
     held_np = make_sphere_batch(num_scenes=S_test, num_views=V, h=64, w=64,
-                                seed=99)
+                                seed=99, ss=4, texture=True)
     recon_data = dict(
         cond_imgs=jnp.asarray(held_np['cond_imgs'][:, :1]),
         cond_poses=jnp.asarray(held_np['cond_poses'][:, :1]),
@@ -154,12 +158,28 @@ def main(train_iters=800):
     run_mode('guide_optim (guided DDIM + 25-step optim)',
              lambda: model.val_step(state, recon_data, key))
 
+    # diagnostic ceiling: same optim budget but supervised by ALL views —
+    # novel-view PSNR above this is unreachable for 1-view recon
+    if os.environ.get('RECON_CEILING', '1') == '1':
+        all_view_data = dict(
+            cond_imgs=jnp.asarray(held_np['cond_imgs']),
+            cond_poses=jnp.asarray(held_np['cond_poses']),
+            cond_intrinsics=jnp.asarray(held_np['cond_intrinsics']),
+            noise=noise)
+        model.test_cfg['cond_mode'] = 'guide_optim'
+        run_mode('all-view guide_optim (ceiling)',
+                 lambda: model.val_step(state, all_view_data, key))
+
     base_psnr = results['uncond control (no guidance)'][0]
     g_psnr = results['guide (DDIM-50 + render guide)'][0]
     go_psnr = results['guide_optim (guided DDIM + 25-step optim)'][0]
     assert g_psnr > base_psnr + 2.0, (g_psnr, base_psnr)
     assert go_psnr > base_psnr + 2.0, (go_psnr, base_psnr)
     assert go_psnr >= g_psnr - 0.5, (go_psnr, g_psnr)
+    target = float(os.environ.get('RECON_TARGET_DB', '20'))
+    assert go_psnr >= target, (
+        f'guide_optim novel-view PSNR {go_psnr:.2f} dB < {target} dB '
+        f'(VERDICT r4 #9 bar)')
     print(f'OK: guided reconstruction beats the no-guidance control by '
           f'{go_psnr - base_psnr:.1f} dB '
           f'(guide {g_psnr:.2f}, guide_optim {go_psnr:.2f}, '
