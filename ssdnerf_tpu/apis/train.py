@@ -33,6 +33,11 @@ def load_cache_from_dir(cache, cache_dir, scene_names):
     if not files:
         return False
     loaded = 0
+    # Stage rows on host then upload once: state_dict() aliases the host
+    # SceneCache's arrays (in-place) and round-trips the DeviceSceneCache
+    # bank through one bulk load_state_dict instead of per-row device
+    # scatters (jnp arrays do not support item assignment).
+    sd = cache.state_dict()
     for li in range(cache.local_size):
         gid = cache.offset + li
         name = scene_names[gid] if scene_names else f'{gid:06d}'
@@ -40,16 +45,18 @@ def load_cache_from_dir(cache, cache_dir, scene_names):
             path = os.path.join(cache_dir, name + ext)
             if os.path.exists(path):
                 d = np.load(path)
-                cache.code_[li] = d['code_'].astype(cache.code_.dtype)
-                cache.density_grid[li] = d['density_grid']
-                cache.density_bitfield[li] = d['density_bitfield']
+                sd['code_'][li] = d['code_'].astype(sd['code_'].dtype)
+                sd['density_grid'][li] = d['density_grid']
+                sd['density_bitfield'][li] = d['density_bitfield']
                 if 'optimizer_m' in d:
-                    cache.m[li] = d['optimizer_m'].astype(cache.m.dtype)
-                    cache.v[li] = d['optimizer_v'].astype(cache.v.dtype)
-                    cache.step[li] = d['optimizer_step']
-                cache.seen[li] = True
+                    sd['m'][li] = d['optimizer_m'].astype(sd['m'].dtype)
+                    sd['v'][li] = d['optimizer_v'].astype(sd['v'].dtype)
+                    sd['step'][li] = d['optimizer_step']
+                sd['seen'][li] = True
                 loaded += 1
                 break
+    if loaded:
+        cache.load_state_dict(sd)
     return loaded > 0
 
 

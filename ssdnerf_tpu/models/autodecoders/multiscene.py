@@ -193,7 +193,52 @@ class DeviceSceneCache:
         assert (0 <= local).all() and (local < self.local_size).all()
         return local
 
-    def load(self, scene_ids, init_code_fn=None):
+    # Pure row access, shared by load/save and the runner's fused bank
+    # step.  gather/scatter run as ONE jitted dispatch each; the scatter
+    # DONATES the bank so XLA updates the multi-GB arrays in place instead
+    # of copying them every iteration (an eager `.at[].set()` cannot alias
+    # its input: at SRN-Cars scale that was ~5.7 GB of HBM copy per step).
+    @staticmethod
+    def gather_rows(bank, idx):
+        return dict(
+            code_=bank['code_'][idx].astype(jnp.float32),
+            opt=SceneOptState(
+                m=bank['m'][idx].astype(jnp.float32),
+                v=bank['v'][idx].astype(jnp.float32),
+                step=bank['step'][idx]),
+            density_grid=bank['density_grid'][idx],
+            density_bitfield=bank['density_bitfield'][idx])
+
+    @staticmethod
+    def scatter_rows(bank, idx, scene_batch):
+        code_dtype = bank['code_'].dtype
+        fin = float(jnp.finfo(code_dtype).max)
+        opt = scene_batch['opt']
+        return dict(
+            code_=bank['code_'].at[idx].set(
+                jnp.clip(scene_batch['code_'], -fin, fin).astype(code_dtype)),
+            m=bank['m'].at[idx].set(opt.m.astype(bank['m'].dtype)),
+            v=bank['v'].at[idx].set(opt.v.astype(bank['v'].dtype)),
+            step=bank['step'].at[idx].set(opt.step),
+            density_grid=bank['density_grid'].at[idx].set(
+                scene_batch['density_grid']),
+            density_bitfield=bank['density_bitfield'].at[idx].set(
+                scene_batch['density_bitfield']))
+
+    _BANK_KEYS = ('code_', 'm', 'v', 'step', 'density_grid',
+                  'density_bitfield')
+
+    def bank(self):
+        return {k: getattr(self, k) for k in self._BANK_KEYS}
+
+    def set_bank(self, bank):
+        for k in self._BANK_KEYS:
+            setattr(self, k, bank[k])
+
+    def ensure_init(self, scene_ids, init_code_fn=None):
+        """Write fresh init codes for not-yet-seen scenes (host-side rare
+        path, split out so the hot gather/scatter can live inside the
+        runner's donated jitted step)."""
         li = self._local(scene_ids)
         unseen = ~self.seen[li]
         if unseen.any() and init_code_fn is not None:
@@ -201,28 +246,27 @@ class DeviceSceneCache:
                 init_code_fn(int(unseen.sum()))).astype(self._code_dtype)
             self.code_ = self.code_.at[jnp.asarray(li[unseen])].set(init)
             self.seen[li] = True
-        idx = jnp.asarray(li)
-        return dict(
-            code_=self.code_[idx].astype(jnp.float32),
-            opt=SceneOptState(
-                m=self.m[idx].astype(jnp.float32),
-                v=self.v[idx].astype(jnp.float32),
-                step=self.step[idx]),
-            density_grid=self.density_grid[idx],
-            density_bitfield=self.density_bitfield[idx])
+        return jnp.asarray(li)
+
+    def mark_seen(self, scene_ids):
+        self.seen[self._local(scene_ids)] = True
+
+    def load(self, scene_ids, init_code_fn=None):
+        idx = self.ensure_init(scene_ids, init_code_fn)
+        if not hasattr(self, '_jit_gather'):
+            self._jit_gather = jax.jit(self.gather_rows)
+        return self._jit_gather(self.bank(), idx)
 
     def save(self, scene_ids, code_, opt: SceneOptState, density_grid,
              density_bitfield):
         idx = jnp.asarray(self._local(scene_ids))
-        fin = float(jnp.finfo(self._code_dtype).max)
-        self.code_ = self.code_.at[idx].set(
-            jnp.clip(code_, -fin, fin).astype(self._code_dtype))
-        self.m = self.m.at[idx].set(opt.m.astype(self._opt_dtype))
-        self.v = self.v.at[idx].set(opt.v.astype(self._opt_dtype))
-        self.step = self.step.at[idx].set(opt.step)
-        self.density_grid = self.density_grid.at[idx].set(density_grid)
-        self.density_bitfield = self.density_bitfield.at[idx].set(
-            density_bitfield)
+        if not hasattr(self, '_jit_scatter'):
+            self._jit_scatter = jax.jit(self.scatter_rows,
+                                        donate_argnums=(0,))
+        self.set_bank(self._jit_scatter(
+            self.bank(), idx,
+            dict(code_=code_, opt=opt, density_grid=density_grid,
+                 density_bitfield=density_bitfield)))
         self.seen[self._local(scene_ids)] = True
 
     def seen_mask(self):

@@ -83,6 +83,22 @@ class Runner:
             self._parallel_compile = make_parallel_train_step(
                 model, self.txs, self.mesh)
             return None  # compiled lazily against the first sharded inputs
+        from ..models.autodecoders.multiscene import DeviceSceneCache
+        if isinstance(self.cache, DeviceSceneCache):
+            # Fused bank step: row gather + train_step + row scatter in ONE
+            # jit with the whole HBM scene bank donated — the scatter lowers
+            # to an in-place dynamic-update-slice instead of a bank copy,
+            # and the gather/scatter fuse into the step's schedule (no
+            # extra dispatches).  The reference pays a CPU<->GPU cache
+            # round-trip here every iteration (multiscene_nerf.py:71-183).
+            gather = DeviceSceneCache.gather_rows
+            scatter = DeviceSceneCache.scatter_rows
+
+            def bank_step(bank, state, idx, data, key):
+                scene_batch = gather(bank, idx)
+                state, scene_batch, logs = step(state, scene_batch, data, key)
+                return scatter(bank, idx, scene_batch), state, logs
+            return jax.jit(bank_step, donate_argnums=(0, 1))
         # state + scene batch buffers are donated (EMA params are distinct
         # copies since init, so no double-donation)
         return jax.jit(step, donate_argnums=(0, 1))
@@ -121,6 +137,19 @@ class Runner:
                 self._step = self._build_step(stage2)
             if stage2:
                 self.state, log_vars = self._step(self.state, data, key)
+            elif self.cache is not None and self.mesh is None and \
+                    hasattr(self.cache, 'bank'):
+                # DeviceSceneCache single-chip path: fused donated bank step
+                idx = self.cache.ensure_init(
+                    batch['scene_id'],
+                    init_code_fn=lambda n: model.get_init_code_np(
+                        n, self._init_rng,
+                        np.asarray(self.state['init_code'])
+                        if self.state.get('init_code') is not None else None))
+                bank, self.state, log_vars = self._step(
+                    self.cache.bank(), self.state, idx, data, key)
+                self.cache.set_bank(bank)
+                self.cache.mark_seen(batch['scene_id'])
             elif self.cache is not None:
                 scene_batch = self.cache.load(
                     batch['scene_id'],
