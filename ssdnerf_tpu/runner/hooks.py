@@ -49,9 +49,16 @@ class EMAHook(Hook):
         self.start_iter = start_iter
         self.momentum_policy = momentum_policy
         self.momentum_cfg = dict(momentum_cfg or {})
+        # the EMA tree is donated: the lerp updates the ~0.5 GB UNet EMA
+        # in place instead of allocating a fresh tree every iteration
+        # (safe because the start_iter snapshot below is a real copy, so
+        # ema never aliases the live params)
         self._lerp = jax.jit(
             lambda ema, p, beta: jax.tree_util.tree_map(
-                lambda e, q: beta * e + (1 - beta) * q, ema, p))
+                lambda e, q: beta * e + (1 - beta) * q, ema, p),
+            donate_argnums=(0,))
+        self._copy = jax.jit(
+            lambda p: jax.tree_util.tree_map(jnp.copy, p))
 
     def momentum(self, runner):
         if self.momentum_policy == 'rampup':
@@ -76,7 +83,7 @@ class EMAHook(Hook):
             if ema_key not in state or src_key not in state:
                 continue
             if runner.iteration - 1 < self.start_iter:
-                state[ema_key] = state[src_key]
+                state[ema_key] = self._copy(state[src_key])
             else:
                 state[ema_key] = self._lerp(
                     state[ema_key], state[src_key],
