@@ -63,6 +63,7 @@ class ShapeNetSRN:
                  test_mode=False,
                  step=1,
                  cache_decoded=False,
+                 decode_threads=None,
                  **kwargs):
         self.data_prefix = data_prefix
         self.code_dir = code_dir
@@ -88,6 +89,10 @@ class ShapeNetSRN:
         # lock; f32 conversion happens per read to keep the cache 4x small.
         self.cache_decoded = bool(cache_decoded)
         self._img_cache = {}
+        # pthread count for the native batch decoder (pngdec.c); the GIL
+        # never serializes these, so default to the host's cores
+        self.decode_threads = int(decode_threads or
+                                  min(16, os.cpu_count() or 1))
 
         self.load_scenes()
 
@@ -167,6 +172,30 @@ class ShapeNetSRN:
             return u8.astype(np.float32) / 255.0
         return _imread_rgb(path)
 
+    def _read_imgs(self, paths):
+        """All of a scene's views as one (N, H, W, 3) f32 stack.
+
+        Routes through the native batched libpng decoder (pngdec.c) when
+        available: one GIL-free ctypes call with an internal pthread pool
+        replaces N python-loop cv2 decodes — the TPU-host analog of the
+        reference's DataLoader worker processes
+        (lib/datasets/builder.py:14-64)."""
+        if self.cache_decoded:
+            missing = [p for p in paths if p not in self._img_cache]
+        else:
+            missing = list(paths)
+        if missing:
+            from . import native_png
+            u8 = native_png.decode_batch(missing, self.decode_threads)
+            if u8 is None:  # no compiler/libpng, or odd-sized images
+                return np.stack([self._read_img(p) for p in paths])
+            if self.cache_decoded:
+                for i, p in enumerate(missing):
+                    self._img_cache[p] = u8[i]
+        if self.cache_decoded:
+            u8 = np.stack([self._img_cache[p] for p in paths])
+        return u8.astype(np.float32) / 255.0
+
     def __getitem__(self, scene_id):
         scene = self.scenes[scene_id]
         results = dict(scene_id=scene_id, scene_name=self.scene_name(scene_id))
@@ -179,16 +208,13 @@ class ShapeNetSRN:
             num_imgs = len(image_paths)
 
             def gather(img_ids):
-                imgs = [] if self.load_imgs else None
                 ps = []
                 paths = []
                 for i in img_ids:
                     ps.append(self._normalize_pose(np.asarray(
                         poses[i], np.float32)))
                     paths.append(image_paths[i])
-                    if self.load_imgs:
-                        imgs.append(self._read_img(image_paths[i]))
-                out_imgs = np.stack(imgs) if imgs else None
+                out_imgs = self._read_imgs(paths) if self.load_imgs else None
                 return (out_imgs, np.stack(ps),
                         np.broadcast_to(intr, (len(img_ids), 4)).copy(),
                         paths)
