@@ -45,10 +45,73 @@ def timeit(fn, *args, tag=''):
     return dt
 
 
+def conv_taps(x, w, b):
+    """3x3 'same' conv as 9 shifted (B*H*W, Cin)@(Cin, Cout) matmuls.
+
+    Candidate lowering for the VERDICT r4 #5 conv matrix: no im2col
+    materialization, every tap is a full-width MXU matmul, and XLA can
+    fuse the pad/slice shifts into the operand reads.  w: (3, 3, Cin,
+    Cout) in HWIO (the flax kernel layout)."""
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (B, H, W, C))
+            y = jnp.einsum('bhwc,cd->bhwd', tap, w[dy, dx])
+            out = y if out is None else out + y
+    return out + b
+
+
+def variants(key, B=8):
+    """Measured matrix of conv lowerings at the two largest UNet levels."""
+    for res, cin, cout in ((128, 18, 128), (128, 128, 128),
+                           (128, 256, 128), (64, 384, 256),
+                           (64, 512, 256)):
+        flops = 2 * B * res * res * 9 * cin * cout
+        x = jax.random.normal(key, (B, res, res, cin))
+        for dtype in (jnp.float32, jnp.bfloat16):
+            name = jnp.dtype(dtype).name
+            conv = nn.Conv(cout, (3, 3), padding=1, dtype=dtype)
+            p = jax.jit(conv.init)(key, x)
+            peak = 197e12 if dtype == jnp.bfloat16 else 99e12
+
+            dt = timeit(lambda eps, p, x: conv.apply(p, x + eps), p, x,
+                        tag=f'native NHWC {res}^2 {cin}->{cout} {name}')
+            print(f'  -> {flops / dt / peak * 100:5.1f}% of MXU peak',
+                  flush=True)
+
+            # 9-tap shifted-matmul lowering
+            w = p['params']['kernel'].astype(dtype)
+            bb = p['params']['bias'].astype(dtype)
+            dt = timeit(lambda eps, w, bb, x: conv_taps(
+                (x + eps).astype(dtype), w, bb), w, bb, x,
+                tag=f'9-tap matmul {res}^2 {cin}->{cout} {name}')
+            print(f'  -> {flops / dt / peak * 100:5.1f}% of MXU peak',
+                  flush=True)
+
+            # NCHW lowering (feature-major): XLA transposes or re-tiles
+            xn = jnp.moveaxis(x, -1, 1)
+
+            def nchw(eps, w, bb, xn):
+                y = jax.lax.conv_general_dilated(
+                    (xn + eps).astype(dtype), w.astype(dtype),
+                    (1, 1), 'SAME',
+                    dimension_numbers=('NCHW', 'HWIO', 'NCHW'))
+                return y + bb[None, :, None, None]
+
+            dt = timeit(nchw, w, bb, xn,
+                        tag=f'native NCHW {res}^2 {cin}->{cout} {name}')
+            print(f'  -> {flops / dt / peak * 100:5.1f}% of MXU peak',
+                  flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--full-only', action='store_true')
     ap.add_argument('--skip-full', action='store_true')
+    ap.add_argument('--variants', action='store_true',
+                    help='conv-lowering matrix at the two largest levels')
     args = ap.parse_args()
     jax.config.update('jax_compilation_cache_dir',
                       os.path.expanduser('~/.cache/jax_comp_cache'))
@@ -57,6 +120,10 @@ def main():
     from ssdnerf_tpu.models.architecture.unet import DenoisingUnet
     B = 8
     key = jax.random.PRNGKey(0)
+
+    if args.variants:
+        variants(key, B)
+        return
 
     if not args.skip_full:
         for dtype in ('float32', 'bfloat16'):
