@@ -34,7 +34,13 @@ def _resolve_backend(decoder, num_rays, compact_steps, grid_size):
     if (K is None or not pallas_ops.decode_supported(decoder)
             or not pallas_ops.march_supported(grid_size)
             or K > 1024 or 1024 % K != 0
-            or num_rays % max(1024 // K, 1) != 0):
+            or num_rays % max(1024 // K, 1) != 0
+            # Mosaic needs the second-minor block dim divisible by 8: the
+            # decode kernel's per-scene 1024-sample chunk count must keep
+            # subs = 8 (tiny shapes would shrink it below that; interpret
+            # mode has no such constraint, so CPU tests still exercise the
+            # kernels at small shapes)
+            or (not interpret and (num_rays * K) % (1024 * 8) != 0)):
         if mode in ('pallas', 'pallas-interpret'):
             raise ValueError('pallas renderer backend requested but the '
                              'decoder/ray shapes are unsupported')

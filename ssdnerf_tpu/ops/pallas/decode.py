@@ -293,7 +293,7 @@ def _bwd_kernel(x_ref, y_ref, z_ref, rid_ref, planes_ref, dirout_ref,
             dplanes_ref[0, p] += acc_dplanes[p]
 
 
-def _shapes(planes, x, K):
+def _shapes(planes, x, K, interpret=False):
     S = planes.shape[0]
     res = planes.shape[-1]
     C = planes.shape[2] // res
@@ -303,6 +303,13 @@ def _shapes(planes, x, K):
     subs = MAX_SUBS
     while (N // SUB) % subs != 0:
         subs //= 2
+    # Mosaic requires second-minor block dims % 8 == 0 (or == the full
+    # array dim, which the per-scene index map cannot use) — callers gate
+    # shapes via renderer._resolve_backend; fail loudly if reached direct.
+    # Interpret mode (CPU tests) has no such constraint.
+    assert interpret or subs % 8 == 0, (
+        f'fused decode needs per-scene samples divisible by {SUB * 8}; '
+        f'got N={N} (use the XLA renderer backend for tiny shapes)')
     return S, C, res, R, N, subs
 
 
@@ -370,7 +377,7 @@ def _rid_or_default(rid, S, R, K, rpc):
 
 def _fwd(planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t, w2t, K, rpc,
          interpret, with_residual=True):
-    S, C, res, R, N, subs = _shapes(planes, x, K)
+    S, C, res, R, N, subs = _shapes(planes, x, K, interpret)
     rpc = SUB // K if rpc is None else rpc
     hidden = wbt.shape[0]
     G = N // (SUB * subs)
@@ -405,7 +412,7 @@ def _bwd(K, rpc, interpret, residuals, g):
     planes, x, y, z, rid, dir_out, wbt, bbt, b1, b2, w1t, w2t, fres = \
         residuals
     gs, gr, gg, gb = g
-    S, C, res, R, N, subs = _shapes(planes, x, K)
+    S, C, res, R, N, subs = _shapes(planes, x, K, interpret)
     rpc = SUB // K if rpc is None else rpc
     hidden = wbt.shape[0]
     G = N // (SUB * subs)
@@ -576,7 +583,7 @@ def triplane_decode_composite(planes, x, y, z, rid, pt, pdt, pvalid,
         n_chunks = N // SUB; column k * rpc + r is local ray r of chunk k
         (the ray-major packed order of ops/packing.py).
     """
-    S, C, res, R, N, subs = _shapes(planes, x, K)
+    S, C, res, R, N, subs = _shapes(planes, x, K, interpret)
     assert K & (K - 1) == 0, ('pack budget must be a power of two for the '
                               'lane-cumsum carry blocking', K)
     hidden = wbt.shape[0]
