@@ -26,13 +26,17 @@ RTT = measure_rtt()
 N_IT = 10
 
 
-def timeit(fn, *args, tag=''):
+def timeit(fn, *args, tag='', n=N_IT):
+    """n must put the loop's wall-clock far above the ~25 ms RTT jitter:
+    sub-ms kernels need hundreds of iterations or the subtraction goes
+    negative (first probe run of round 4 — all per-level rows were
+    noise at n=10)."""
     @jax.jit
     def run(eps, *args):
         def body(i, acc):
             out = fn(eps * i, *args)
             return acc + jnp.sum(out) * 1e-30
-        return jax.lax.fori_loop(0, N_IT, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     z = jnp.float32(0.0)
     float(run(z, *args))
@@ -40,7 +44,7 @@ def timeit(fn, *args, tag=''):
     for _ in range(3):
         t0 = time.perf_counter()
         float(run(z, *args))
-        dt = min(dt, (time.perf_counter() - t0 - RTT) / N_IT)
+        dt = min(dt, (time.perf_counter() - t0 - RTT) / n)
     print(f'{tag:46s} {dt * 1e3:8.3f} ms', flush=True)
     return dt
 
@@ -77,7 +81,8 @@ def variants(key, B=8):
             peak = 197e12 if dtype == jnp.bfloat16 else 99e12
 
             dt = timeit(lambda eps, p, x: conv.apply(p, x + eps), p, x,
-                        tag=f'native NHWC {res}^2 {cin}->{cout} {name}')
+                        tag=f'native NHWC {res}^2 {cin}->{cout} {name}',
+                        n=400)
             print(f'  -> {flops / dt / peak * 100:5.1f}% of MXU peak',
                   flush=True)
 
@@ -86,7 +91,7 @@ def variants(key, B=8):
             bb = p['params']['bias'].astype(dtype)
             dt = timeit(lambda eps, w, bb, x: conv_taps(
                 (x + eps).astype(dtype), w, bb), w, bb, x,
-                tag=f'9-tap matmul {res}^2 {cin}->{cout} {name}')
+                tag=f'9-tap matmul {res}^2 {cin}->{cout} {name}', n=400)
             print(f'  -> {flops / dt / peak * 100:5.1f}% of MXU peak',
                   flush=True)
 
@@ -101,7 +106,8 @@ def variants(key, B=8):
                 return y + bb[None, :, None, None]
 
             dt = timeit(nchw, w, bb, xn,
-                        tag=f'native NCHW {res}^2 {cin}->{cout} {name}')
+                        tag=f'native NCHW {res}^2 {cin}->{cout} {name}',
+                        n=400)
             print(f'  -> {flops / dt / peak * 100:5.1f}% of MXU peak',
                   flush=True)
 
@@ -132,7 +138,7 @@ def main():
             t = jnp.full((B,), 500, jnp.int32)
             params = jax.jit(net.init)(key, x, t)
             dt = timeit(lambda eps, p, x, t: net.apply(p, x + eps, t),
-                        params, x, t, tag=f'full UNet fwd ({dtype})')
+                        params, x, t, tag=f'full UNet fwd ({dtype})', n=100)
             print(f'  -> {1.0 / dt:.1f} fwd/s = DDIM-step rate bound',
                   flush=True)
     if args.full_only:
@@ -154,9 +160,24 @@ def main():
             p = jax.jit(conv.init)(key, x)
             dt = timeit(lambda eps, p, x: conv.apply(p, x + eps), p, x,
                         tag=f'conv3x3 {res}^2 {cin}->{cout} '
-                            f'{jnp.dtype(dtype).name}')
+                            f'{jnp.dtype(dtype).name}', n=400)
             eff = flops / dt / (197e12 if dtype == jnp.bfloat16 else 99e12)
             print(f'  -> {eff * 100:5.1f}% of MXU peak', flush=True)
+
+            # fwd+bwd (dgrad + wgrad): the train step's actual shape
+            def vag(eps, p, x):
+                def f(p, x):
+                    return jnp.sum(conv.apply(p, x + eps) ** 2)
+                g_p, g_x = jax.grad(f, argnums=(0, 1))(p, x)
+                return g_x + g_p['params']['kernel'].sum() * 1e-30
+
+            dtb = timeit(vag, p, x,
+                         tag=f'  +bwd {res}^2 {cin}->{cout} '
+                             f'{jnp.dtype(dtype).name}', n=200)
+            effb = 3 * flops / dtb / (197e12 if dtype == jnp.bfloat16
+                                      else 99e12)
+            print(f'  -> fwd+bwd {effb * 100:5.1f}% of MXU peak '
+                  f'(bwd/fwd {dtb / dt - 1:.2f}x)', flush=True)
 
     # GroupNorm + SiLU at the big levels (HBM-bound candidates)
     for res, c in ((128, 128), (128, 256), (64, 256), (64, 512)):
@@ -164,7 +185,7 @@ def main():
         gn = nn.GroupNorm(num_groups=32)
         p = jax.jit(gn.init)(key, x)
         dt = timeit(lambda eps, p, x: jax.nn.silu(gn.apply(p, x + eps)),
-                    p, x, tag=f'GN+SiLU {res}^2 c={c}')
+                    p, x, tag=f'GN+SiLU {res}^2 c={c}', n=400)
         gb = 2 * x.size * 4 / 1e9
         print(f'  -> {gb / dt:.0f} GB/s effective', flush=True)
 
@@ -175,7 +196,7 @@ def main():
         at = SelfAttention(4, 1, 32)
         p = jax.jit(at.init)(key, x)
         timeit(lambda eps, p, x: at.apply(p, x + eps), p, x,
-               tag=f'attention {res}^2 c={c}')
+               tag=f'attention {res}^2 c={c}', n=400)
 
 
 if __name__ == '__main__':
