@@ -262,14 +262,70 @@ def torch_update_density(decoder, code, density_grid, jitter, grid_size,
 
 
 # --------------------------------------------------------------------- #
-# the composed step (diffusion_nerf.py:66-189, extra_scene_step == 0)
+# the inner scene loop (base_nerf.py:403-492 inverse_code, driven with the
+# prior grad by diffusion_nerf.py:128-158)
+# --------------------------------------------------------------------- #
+def torch_inverse_code(decoder, code_, opt_code, prior_grad, inner_rand,
+                       batch, cfg, update_extra_interval):
+    """``extra_scene_step`` inner code-optimization steps.
+
+    Each step: (density update at step % interval == 0) -> ray-batch
+    rendering loss -> ``code_.grad.copy_(prior_grad)`` then backward (the
+    reference's accumulation surgery, diffusion_nerf.py:128-137) -> Adam.
+    ``inner_rand`` is a list of per-step dicts with ``density_jitter``,
+    ``ray_inds`` (S, n_rays), ``perturb`` (S, n_rays); bitfield/grid live
+    in ``batch`` and update in place."""
+    tc = cfg
+    scale = tc['code_scale']
+    grid_size = tc['grid_size']
+    S = code_.shape[0]
+    logs = {}
+    code_grads = []
+    for i, rand in enumerate(inner_rand):
+        if i % update_extra_interval == 0:
+            code = tanh_code(code_.detach(), scale)
+            batch['density_grid'], batch['bitfield'] = torch_update_density(
+                decoder, code, batch['density_grid'],
+                rand['density_jitter'], grid_size, tc['density_thresh'])
+        take = lambda a: torch.gather(
+            a.reshape(S, -1, 3), 1,
+            rand['ray_inds'][..., None].expand(-1, -1, 3))
+        rays_o = take(batch['rays_o'])
+        rays_d = take(batch['rays_d'])
+        target = take(batch['imgs'])
+
+        code = tanh_code(code_, scale)
+        image, wsum = torch_volume_render(
+            decoder, code, rays_o, rays_d, batch['bitfield'], grid_size,
+            batch['dt_gamma'], tc['max_steps'], rand['perturb'])
+        out_rgbs = image + tc['bg_color'] * (1 - wsum[..., None])
+        pscale = 1 - np.exp(-tc['loss_coef'] * batch['num_pixels'])
+        pixel_loss = ((out_rgbs - target) ** 2).mean() \
+            * tc['pixel_loss_weight'] * (pscale * 3)
+        reg_loss = (code.abs() ** 2).mean() * tc['reg_loss_weight']
+        loss = pixel_loss + reg_loss
+        code_.grad = prior_grad.clone()
+        loss.backward()
+        code_grads.append(code_.grad.detach().clone())
+        opt_code.step()
+        logs = dict(inner_pixel_loss=float(pixel_loss),
+                    inner_reg_loss=float(reg_loss), inner_loss=float(loss))
+    logs['code_grads'] = code_grads
+    return logs
+
+
+# --------------------------------------------------------------------- #
+# the composed step (diffusion_nerf.py:66-189; extra_scene_step > 0 runs
+# the inner loop above between the diffusion and the final joint step)
 # --------------------------------------------------------------------- #
 def torch_train_step(unet, decoder, code_, opt_diffusion, opt_decoder,
-                     opt_code, sched, rand, batch, cfg):
+                     opt_code, sched, rand, batch, cfg,
+                     inner_rand=None, update_extra_interval=16):
     """One single-stage train step.  ``rand`` carries the pre-drawn
     randomness: t (S,), noise (like code_diff), density_jitter (H^3, 3),
     ray_inds (S, n_rays), perturb (S, n_rays).  ``sched`` carries the
     diffusion schedule tables + sampler weights + the scale-norm state.
+    ``inner_rand`` (optional) carries one dict per extra_scene_step.
     Returns a dict of losses/logs; parameters and code_ update in place."""
     tc = cfg
     scale = tc['code_scale']
@@ -289,6 +345,16 @@ def torch_train_step(unet, decoder, code_, opt_diffusion, opt_decoder,
     opt_diffusion.step()
     sched['norm_factor'] = new_norm
     # code_.grad now holds the prior grad (kept; decoder backward adds)
+
+    inner_logs = {}
+    if inner_rand:
+        prior_grad = code_.grad.detach().clone()
+        inner_logs = torch_inverse_code(
+            decoder, code_, opt_code, prior_grad, inner_rand, batch, cfg,
+            update_extra_interval)
+        # final joint step re-injects the SAME prior grad
+        # (diffusion_nerf.py:168: g_code = g_code + prior_grad)
+        code_.grad = prior_grad.clone()
 
     # density update on the re-activated code (graph-free)
     code = tanh_code(code_.detach(), scale)
@@ -327,4 +393,5 @@ def torch_train_step(unet, decoder, code_, opt_diffusion, opt_decoder,
     return dict(loss_diffusion=float(loss_diff),
                 loss_decoder=float(loss_dec),
                 pixel_loss=float(pixel_loss), reg_loss=float(reg_loss),
-                train_psnr=psnr, bitfield=bitfield, code_grad=code_grad)
+                train_psnr=psnr, bitfield=bitfield, code_grad=code_grad,
+                **inner_logs)

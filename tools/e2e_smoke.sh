@@ -22,7 +22,10 @@ echo "== 3/4 train.py (400 iters, eval + checkpoint hooks)"
 python train.py "$CFG" --work-dir "$WD" --seed 0
 
 echo "== 4/4 test.py on the saved checkpoint"
-CKPT=$(ls -t "$WD"/*.pkl 2>/dev/null | head -1)
+# runner writes $WD/ckpt/iter_*.ckpt and maintains a latest.ckpt symlink
+# (ssdnerf_tpu/runner/loop.py save_checkpoint)
+CKPT="$WD/ckpt/latest.ckpt"
+[ -e "$CKPT" ] || CKPT=$(ls -t "$WD"/ckpt/iter_*.ckpt | head -1)
 python test.py "$CFG" "$CKPT" --viz-dir "$WD/viz_test"
 
 echo "e2e smoke OK: work dir $WD"
