@@ -86,6 +86,71 @@ def make_parallel_train_step(model, txs, mesh, axis_name='data'):
     return compile_for
 
 
+def make_parallel_bank_step(model, txs, mesh, axis_name='data'):
+    """Fused gather + train + scatter over the MESH-SHARDED scene bank.
+
+    The multi-chip analogue of the runner's single-chip fused bank step:
+    the whole HBM scene bank (sharded over the scene axis so each chip
+    holds an even slice, DeviceSceneCache) is DONATED into one jitted
+    program per iteration — the batch rows are gathered from their owning
+    chips, resharded to the data axis, trained, and scattered back with an
+    in-place dynamic-update-slice.  No per-iteration bank-sized copy, no
+    separate gather/scatter dispatches.  The reference instead round-trips
+    per-scene state CPU<->GPU every iteration and keeps the cache
+    rank-sharded at host granularity
+    (/root/reference/lib/models/autodecoders/multiscene_nerf.py:44-51,
+    71-183).
+    """
+    from ..models.autodecoders import DiffusionNeRF
+    from ..models.autodecoders.multiscene import DeviceSceneCache
+
+    repl = NamedSharding(mesh, P())
+    scene_sharded = NamedSharding(mesh, P(axis_name))
+
+    if isinstance(model, DiffusionNeRF):
+        tx_diff = txs['diffusion']
+        tx_dec = txs.get('decoder', tx_diff)
+
+        def raw_step(state, scene_batch, data, key):
+            return model.train_step(state, scene_batch, data, key,
+                                    tx_diff, tx_dec)
+    else:
+        tx_dec = txs['decoder']
+
+        def raw_step(state, scene_batch, data, key):
+            return model.train_step(state, scene_batch, data, key, tx_dec)
+
+    gather = DeviceSceneCache.gather_rows
+    scatter = DeviceSceneCache.scatter_rows
+
+    def bank_step(bank, state, idx, data, key):
+        scene_batch = gather(bank, idx)
+        # the gathered batch rows compute data-parallel over the mesh
+        scene_batch = jax.lax.with_sharding_constraint(
+            scene_batch,
+            jax.tree_util.tree_map(lambda _: scene_sharded, scene_batch))
+        state, scene_batch, logs = raw_step(state, scene_batch, data, key)
+        return scatter(bank, idx, scene_batch), state, logs
+
+    def scene_spec(tree):
+        return jax.tree_util.tree_map(
+            lambda x: scene_sharded if getattr(x, 'ndim', 0) >= 1 else repl,
+            tree)
+
+    def compile_for(bank, state, idx, data, key):
+        in_shardings = (
+            jax.tree_util.tree_map(lambda _: scene_sharded, bank),
+            jax.tree_util.tree_map(lambda _: repl, state),
+            repl,                    # batch row indices (replicated)
+            scene_spec(data),
+            repl,
+        )
+        return jax.jit(bank_step, in_shardings=in_shardings,
+                       donate_argnums=(0, 1))
+
+    return compile_for
+
+
 def sharded_volume_render(decoder, params, code, rays_o, rays_d,
                           density_bitfield, grid_size, mesh,
                           axis_name='data', **render_kwargs):

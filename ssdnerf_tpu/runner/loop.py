@@ -77,13 +77,27 @@ class Runner:
             def stage2_step(s, d, k):
                 new_s, _, logs = step(s, None, d, k)
                 return new_s, logs
-            return jax.jit(stage2_step)
-        if self.mesh is not None:
-            from ..parallel.sharding import make_parallel_train_step
-            self._parallel_compile = make_parallel_train_step(
-                model, self.txs, self.mesh)
-            return None  # compiled lazily against the first sharded inputs
+            if self.mesh is not None:
+                # replicated model state, scene-sharded data batch: XLA
+                # turns the UNet gradient means into ICI psums
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(self.mesh, P())
+                shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                return jax.jit(stage2_step, in_shardings=(repl, shard, repl),
+                               donate_argnums=(0,))
+            return jax.jit(stage2_step, donate_argnums=(0,))
         from ..models.autodecoders.multiscene import DeviceSceneCache
+        if self.mesh is not None:
+            from ..parallel.sharding import (make_parallel_train_step,
+                                             make_parallel_bank_step)
+            if isinstance(self.cache, DeviceSceneCache):
+                # mesh-sharded bank: fused donated gather+train+scatter
+                self._parallel_compile = make_parallel_bank_step(
+                    model, self.txs, self.mesh)
+            else:
+                self._parallel_compile = make_parallel_train_step(
+                    model, self.txs, self.mesh)
+            return None  # compiled lazily against the first sharded inputs
         if isinstance(self.cache, DeviceSceneCache):
             # Fused bank step: row gather + train_step + row scatter in ONE
             # jit with the whole HBM scene bank donated — the scatter lowers
@@ -136,18 +150,37 @@ class Runner:
             if self._step is None:
                 self._step = self._build_step(stage2)
             if stage2:
+                if self.mesh is not None:
+                    from ..parallel.sharding import replicate, shard_scenes
+                    data = shard_scenes(data, self.mesh)
+                    if not getattr(self, '_state_sharded', False):
+                        self.state = replicate(self.state, self.mesh)
+                        self._state_sharded = True
+                    key = replicate(key, self.mesh)
                 self.state, log_vars = self._step(self.state, data, key)
-            elif self.cache is not None and self.mesh is None and \
-                    hasattr(self.cache, 'bank'):
-                # DeviceSceneCache single-chip path: fused donated bank step
+            elif self.cache is not None and hasattr(self.cache, 'bank'):
+                # DeviceSceneCache: fused donated bank step (gather + train
+                # + scatter in one jit; mesh-sharded bank when mesh given)
                 idx = self.cache.ensure_init(
                     batch['scene_id'],
                     init_code_fn=lambda n: model.get_init_code_np(
                         n, self._init_rng,
                         np.asarray(self.state['init_code'])
                         if self.state.get('init_code') is not None else None))
+                bank = self.cache.bank()
+                if self.mesh is not None:
+                    from ..parallel.sharding import replicate, shard_scenes
+                    data = shard_scenes(data, self.mesh)
+                    idx = replicate(idx, self.mesh)
+                    key = replicate(key, self.mesh)
+                    if not getattr(self, '_state_sharded', False):
+                        self.state = replicate(self.state, self.mesh)
+                        self._state_sharded = True
+                    if self._step is None:
+                        self._step = self._parallel_compile(
+                            bank, self.state, idx, data, key)
                 bank, self.state, log_vars = self._step(
-                    self.cache.bank(), self.state, idx, data, key)
+                    bank, self.state, idx, data, key)
                 self.cache.set_bank(bank)
                 self.cache.mark_seen(batch['scene_id'])
             elif self.cache is not None:

@@ -187,3 +187,81 @@ def test_sharded_volume_render_matches_single_device():
     for k in ('weights_sum', 'depth', 'image'):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=2e-3, err_msg=k)
+
+
+def test_parallel_bank_step_fused_and_donated():
+    """Mesh-sharded bank + fused gather/train/scatter in ONE donated jit
+    (VERDICT r4 #6): semantics match the plain parallel step, and
+    memory_analysis proves the multi-GB bank is updated in place (no
+    bank-sized temp/output beyond the donated buffers)."""
+    from ssdnerf_tpu.models.autodecoders.multiscene import DeviceSceneCache
+    from ssdnerf_tpu.parallel import make_parallel_bank_step
+
+    model, state, txs, scene_batch, data = _setup()
+    mesh = make_mesh(8)
+    S = 8
+    cache = DeviceSceneCache(16, model.code_size, model.grid_size,
+                             cache_16bit=False, mesh=mesh)
+    ids = np.arange(S)
+    cache.save(ids, scene_batch['code_'], scene_batch['opt'],
+               scene_batch['density_grid'].astype(jnp.float16),
+               scene_batch['density_bitfield'])
+
+    state_r = replicate(state, mesh)
+    # device_put may alias buffers it does not need to move and state_r is
+    # donated below — keep pristine copies for the comparison step
+    state_keep = jax.tree_util.tree_map(lambda a: jnp.array(a), state_r)
+    data_s = shard_scenes(data, mesh)
+    key = replicate(jax.random.PRNGKey(1), mesh)
+    idx = replicate(jnp.asarray(ids), mesh)
+    bank = cache.bank()
+
+    compile_for = make_parallel_bank_step(model, txs, mesh)
+    step = compile_for(bank, state_r, idx, data_s, key)
+    bank2, state2, logs = step(bank, state_r, idx, data_s, key)
+    assert np.isfinite(float(logs['loss_diffusion']))
+    assert np.isfinite(float(logs['train_psnr']))
+
+    # parity with the unfused parallel step on identical inputs
+    cache2 = DeviceSceneCache(16, model.code_size, model.grid_size,
+                              cache_16bit=False, mesh=mesh)
+    cache2.save(ids, scene_batch['code_'], scene_batch['opt'],
+                scene_batch['density_grid'].astype(jnp.float16),
+                scene_batch['density_bitfield'])
+    sb = cache2.load(ids)
+    sb = shard_scenes(sb, mesh)
+    state_r2 = state_keep
+    pstep = make_parallel_train_step(model, txs, mesh)(
+        state_r2, sb, data_s, key)
+    state3, sb3, logs3 = pstep(state_r2, sb, data_s, key)
+    np.testing.assert_allclose(float(logs['loss_diffusion']),
+                               float(logs3['loss_diffusion']), rtol=1e-5)
+    cache2.save(ids, sb3['code_'], sb3['opt'], sb3['density_grid'],
+                sb3['density_bitfield'])
+    cache.set_bank(bank2)
+    np.testing.assert_allclose(np.asarray(cache.load(ids)['code_']),
+                               np.asarray(cache2.load(ids)['code_']),
+                               atol=1e-5)
+
+    # donation proof on a bank big enough to dominate the step's temps:
+    # the donated bank buffers must be ALIASED into the outputs (updated
+    # in place), so alias bytes >= bank bytes and the fresh allocation
+    # (output + temp - alias) stays far below the bank size.
+    big = DeviceSceneCache(8192, model.code_size, model.grid_size,
+                           cache_16bit=False, mesh=mesh)
+    big_bank = big.bank()
+    bank_bytes = sum(int(v.nbytes) for v in big_bank.values())
+    state_f = jax.tree_util.tree_map(lambda a: jnp.array(a), state2)
+    ma = compile_for(big_bank, state_f, idx, data_s, key) \
+        .lower(big_bank, state_f, idx, data_s, key).compile() \
+        .memory_analysis()
+    if ma is not None:
+        per_dev = bank_bytes / 8  # memory_analysis reports per device
+        assert ma.alias_size_in_bytes >= 0.9 * per_dev, (
+            f'aliased {ma.alias_size_in_bytes} < bank {per_dev}/device — '
+            f'the donated bank is not updated in place')
+        fresh = (ma.output_size_in_bytes + ma.temp_size_in_bytes
+                 - ma.alias_size_in_bytes)
+        assert fresh < 0.5 * per_dev, (
+            f'fused bank step allocates {fresh} fresh bytes vs bank '
+            f'{per_dev}/device — donation/aliasing is not working')
