@@ -173,6 +173,17 @@ class GaussianDiffusion:
                 x_0_pred = jnp.clip(x_0_pred, *clip_range)
         else:
             if grad_through_unet:
+                if cfg.get('guide_remat', False):
+                    # Rematerialize the UNet inside the guidance gradient:
+                    # the backward pass recomputes the forward instead of
+                    # storing every conv/GN activation of the 400M-param
+                    # UNet per guided step (SURVEY hard part #3 —
+                    # "memory-heavy; needs remat policy").  Costs one extra
+                    # forward; cuts guide-step activation memory to the
+                    # live set of a single forward.  Measured at flagship
+                    # recons1v shapes in tools/guided_bench.py / PERF.md.
+                    x0_of_xt = jax.checkpoint(x0_of_xt)
+
                 def loss_of_xt(x_t_in):
                     x0, out = x0_of_xt(x_t_in)
                     if clip_denoised:
@@ -322,43 +333,54 @@ class GaussianDiffusion:
 
         in_dtype = noise.dtype  # keep the scan carry dtype under autocast
 
+        # Per-step keys are precomputed OUTSIDE the scan and streamed in as
+        # scan inputs.  Threading the key through the carry (split inside
+        # the body) composes catastrophically with the rest of the step on
+        # TPU: measured +1.7 ms/step f32 / +5.4 ms/step bf16 on the
+        # flagship UNet scan — 25-53% of the whole step — while the
+        # identical computation with streamed keys runs at the UNet-only
+        # bound (PERF.md round 5, tools jobs 02-04).  XLA's while-loop
+        # buffer handling of small mixed-dtype carries is the culprit, not
+        # the threefry FLOPs (a carried f32 scalar alone triples the step).
+        step_keys = jax.random.split(
+            key, len(ts) * (1 + langevin_steps)).reshape(
+            len(ts), 1 + langevin_steps, 2)
+
         def body(carry, xs):
-            x_t, gstate, k = carry
-            t, t_prev, ci, lang_on = xs
-            k, k1 = jax.random.split(k)
+            x_t, gstate = carry
+            t, t_prev, ci, lang_on, keys = xs
             cc = concat_cond[:, ci[0]] if concat_cond is not None else None
             x_t, x_0_pred, gstate = self.p_sample_ddim(
-                params, x_t, t, t_prev, key=k1, cfg=cfg,
+                params, x_t, t, t_prev, key=keys[0], cfg=cfg,
                 grad_guide_fn=grad_guide_fn, guide_state=gstate,
                 concat_cond=cc, **kwargs)
             x_t = x_t.astype(in_dtype)
 
             if langevin_steps > 0:
                 def lang_body(i, val):
-                    x, gs, kk = val
-                    kk, k2 = jax.random.split(kk)
+                    x, gs = val
                     ccl = concat_cond[:, ci[1 + i]] \
                         if concat_cond is not None else None
                     x_new, gs_new = self.p_sample_langevin(
-                        params, x, jnp.maximum(t_prev, 0), k2, cfg=cfg,
-                        grad_guide_fn=grad_guide_fn, guide_state=gs,
-                        concat_cond=ccl, **kwargs)
+                        params, x, jnp.maximum(t_prev, 0), keys[1 + i],
+                        cfg=cfg, grad_guide_fn=grad_guide_fn,
+                        guide_state=gs, concat_cond=ccl, **kwargs)
                     keep = lang_on
                     x = jnp.where(keep, x_new, x).astype(in_dtype)
                     gs = jax.tree_util.tree_map(
                         lambda a, b: jnp.where(keep, a, b), gs_new, gs) \
                         if gs is not None else None
-                    return (x, gs, kk)
+                    return (x, gs)
 
-                x_t, gstate, k = jax.lax.fori_loop(
-                    0, langevin_steps, lang_body, (x_t, gstate, k))
+                x_t, gstate = jax.lax.fori_loop(
+                    0, langevin_steps, lang_body, (x_t, gstate))
             out = (x_0_pred, x_t) if save_intermediates else None
-            return (x_t, gstate, k), out
+            return (x_t, gstate), out
 
         xs = (jnp.asarray(ts), jnp.asarray(t_prevs), jnp.asarray(cond_idx),
-              jnp.asarray(langevin_on))
-        (x_final, guide_state, _), saved = jax.lax.scan(
-            body, (noise, guide_state, key), xs)
+              jnp.asarray(langevin_on), step_keys)
+        (x_final, guide_state), saved = jax.lax.scan(
+            body, (noise, guide_state), xs)
         if save_intermediates:
             saved = jax.tree_util.tree_map(
                 lambda a: jnp.transpose(a, (0, 1, 4, 2, 3)), saved)
@@ -398,19 +420,21 @@ class GaussianDiffusion:
         num_cond = concat_cond.shape[1] if concat_cond is not None else 1
         cond_idx = np.arange(len(ts)) % num_cond
 
+        # keys streamed in as scan inputs, not carried (see ddim_sample)
+        step_keys = jax.random.split(key, len(ts))
+
         def body(carry, xs):
-            x_t, gstate, k = carry
-            t, ci = xs
-            k, k1 = jax.random.split(k)
+            x_t, gstate = carry
+            t, ci, k1 = xs
             cc = concat_cond[:, ci] if concat_cond is not None else None
             x_t, _, gstate = self.p_sample_ddpm(
                 params, x_t, t, k1, cfg=cfg, grad_guide_fn=grad_guide_fn,
                 guide_state=gstate, concat_cond=cc, **kwargs)
-            return (x_t.astype(noise.dtype), gstate, k), None
+            return (x_t.astype(noise.dtype), gstate), None
 
-        (x_final, guide_state, _), _ = jax.lax.scan(
-            body, (noise, guide_state, key),
-            (jnp.asarray(ts), jnp.asarray(cond_idx)))
+        (x_final, guide_state), _ = jax.lax.scan(
+            body, (noise, guide_state),
+            (jnp.asarray(ts), jnp.asarray(cond_idx), step_keys))
         return jnp.transpose(x_final, (0, 3, 1, 2)), guide_state
 
     def sample_from_noise(self, params, noise, key, **kwargs):
