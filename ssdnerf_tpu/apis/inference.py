@@ -22,7 +22,8 @@ def init_model(config, checkpoint=None, use_fp16=False):
     state = model.init_state(jax.random.PRNGKey(0),
                              config.get('optimizer', {}))
     if checkpoint is not None:
-        state, _, _ = load_checkpoint(checkpoint, template=state)
+        state, _, _ = load_checkpoint(checkpoint, template=state,
+                                      lenient=True)
     if use_fp16:
         model.autocast_dtype = 'bfloat16'
     model.eval_mode()

@@ -27,14 +27,37 @@ def save_checkpoint(path, state, iteration=0, meta=None):
     os.replace(tmp, path)
 
 
-def load_checkpoint(path, template=None):
+def load_checkpoint(path, template=None, lenient=False):
     """Returns (state, iteration, meta). If ``template`` is given, the state
-    is restored into its treedef (required for optax states)."""
+    is restored into its treedef (required for optax states).
+
+    ``lenient=True`` restores per top-level key and SKIPS keys whose saved
+    structure does not match the template (returning the template's fresh
+    value there) or that only one side has.  Inference uses this: eval
+    (test.py / init_model) rebuilds optimizer states without the training
+    run's lr-schedule chain, so ``opt_*`` treedefs legitimately differ —
+    and eval never reads them.  Training resume stays strict.
+    """
     with open(path, 'rb') as f:
         payload = serialization.msgpack_restore(f.read())
     state = payload['state']
     if template is not None:
-        state = serialization.from_state_dict(_strip_none(template), state)
+        tmpl = _strip_none(template)
+        if lenient:
+            out = dict(tmpl)
+            for k, v in tmpl.items():
+                if k not in state:
+                    print(f'[checkpoint] {k}: missing in checkpoint, '
+                          f'keeping fresh value')
+                    continue
+                try:
+                    out[k] = serialization.from_state_dict(v, state[k])
+                except (ValueError, KeyError, TypeError) as e:
+                    print(f'[checkpoint] {k}: structure mismatch, keeping '
+                          f'fresh value ({str(e)[:120]})')
+            state = out
+        else:
+            state = serialization.from_state_dict(tmpl, state)
     return state, payload.get('iteration', 0), payload.get('meta', {})
 
 

@@ -389,3 +389,41 @@ def test_lr_schedules():
         build_lr_schedule(1.0, dict(policy='OneCycle'))
     with pytest.raises(ValueError, match='max_iters'):
         build_lr_schedule(1.0, dict(policy='poly'))
+
+
+def test_lenient_checkpoint_restore_across_optimizer_chains(tmp_path):
+    """Regression (round-5 e2e smoke): a checkpoint saved by a training run
+    whose optimizer chain carries lr-schedule state (count) must load in
+    test.py/init_model, which rebuilds optimizer states WITHOUT the
+    schedule — the opt_* treedefs differ and eval never reads them, so
+    the lenient loader keeps fresh values there and restores the rest."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ssdnerf_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+
+    params = dict(w=jnp.arange(4.0))
+    tx_train = optax.chain(
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(lambda i: 1e-3))   # carries count state
+    tx_eval = optax.adam(1e-3)                     # different chain
+    state_saved = dict(decoder=params,
+                       opt_decoder=tx_train.init(params),
+                       ddpm_loss=jnp.ones((1,)) * 3)
+    path = str(tmp_path / 'ckpt.ckpt')
+    save_checkpoint(path, state_saved, iteration=7)
+
+    template = dict(decoder=dict(w=jnp.zeros(4)),
+                    opt_decoder=tx_eval.init(params),
+                    ddpm_loss=jnp.zeros((1,)))
+    # strict restore must fail loudly (resume semantics unchanged)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        load_checkpoint(path, template=template)
+    state, it, _ = load_checkpoint(path, template=template, lenient=True)
+    assert it == 7
+    np.testing.assert_allclose(np.asarray(state['decoder']['w']),
+                               np.arange(4.0))
+    np.testing.assert_allclose(np.asarray(state['ddpm_loss']), [3.0])
+    # mismatched opt state falls back to the fresh template value
+    jax.tree_util.tree_structure(state['opt_decoder'])  # restorable tree
