@@ -66,7 +66,11 @@ def _scalar_kernel(tab_ref, ji_ref, out_ref, *, n_sub):
 
 def scalar_march(ji2, table_words, n_sub):
     """ji2: (n_chunks*n_sub, SUB) i32; table_words: (S, 128, 64) i32.
-    Returns per-sub occupied-sample counts, (rows, 1) i32."""
+    Returns per-sub occupied-sample counts, (rows, 1) i32.
+
+    Everything the scalar core touches must be SMEM (Mosaic: no scalar
+    loads/stores on VMEM) — table, indices and output all stream through
+    SMEM blocks."""
     S = table_words.shape[0]
     chunks = ji2.shape[0] // n_sub // S
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -76,7 +80,9 @@ def scalar_march(ji2, table_words, n_sub):
             pl.BlockSpec(memory_space=pltpu.SMEM,
                          block_shape=(1, 128, 64),
                          index_map=lambda s, c: (s, 0, 0)),
-            pl.BlockSpec((n_sub, SUB), lambda s, c: (s * chunks + c, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM,
+                         block_shape=(n_sub, SUB),
+                         index_map=lambda s, c: (s * chunks + c, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM,
                                block_shape=(n_sub, 1),
