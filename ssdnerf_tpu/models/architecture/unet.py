@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ssdnerf_tpu.ops.pallas.attention import (vmem_attention,
+                                              vmem_attention_supported)
+
 
 def timestep_embedding(t, dim, max_period=10000.0):
     """DDPM sinusoidal embedding: (B,) -> (B, dim).
@@ -43,8 +46,14 @@ class TimeEmbedding(nn.Module):
         return emb
 
 
-def _gn(num_groups, name=None):
-    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, name=name)
+def _gn(num_groups, name=None, dtype=None):
+    # dtype=None (f32 modules): output promotes to f32 via the f32
+    # scale/bias params — unchanged training numerics.  Under a bf16
+    # module the caller passes bf16 so the normalized stream is written
+    # once in bf16 instead of f32-then-cast (stats stay f32 inside
+    # flax's _compute_stats); measured levers in PERF.md round 5.
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, name=name,
+                        dtype=dtype)
 
 
 class ResBlock(nn.Module):
@@ -67,7 +76,7 @@ class ResBlock(nn.Module):
         # bound (PERF.md: fwd at ~120 TFLOP/s moving ~12 GB), and without
         # these casts every GN re-upcast the activation stream to f32.
         in_channels = x.shape[-1]
-        h = _gn(self.norm_groups, 'norm_1')(x).astype(self.dtype)
+        h = _gn(self.norm_groups, 'norm_1', self.dtype)(x).astype(self.dtype)
         h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     feature_group_count=self.groups, name='conv_1')(h)
@@ -77,10 +86,12 @@ class ResBlock(nn.Module):
             name='embedding_dense')(jax.nn.silu(emb))
         emb_out = emb_out[:, None, None, :]
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = _gn(self.norm_groups, 'norm_2')(h) * (1 + scale) + shift
+            scale, shift = jnp.split(emb_out.astype(self.dtype), 2, axis=-1)
+            h = _gn(self.norm_groups, 'norm_2', self.dtype)(h) \
+                * (1 + scale) + shift
         else:
-            h = _gn(self.norm_groups, 'norm_2')(h + emb_out)
+            h = _gn(self.norm_groups, 'norm_2', self.dtype)(
+                h + emb_out.astype(self.dtype))
         h = jax.nn.silu(h.astype(self.dtype))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -103,11 +114,26 @@ class ResBlock(nn.Module):
 class SelfAttention(nn.Module):
     """MultiHeadAttentionMod (modules.py:13-48).  With groups > 1 the qkv /
     proj projections are per-group but attention runs over the concatenated
-    tokens of all groups (group-aware attention for tiled triplanes)."""
+    tokens of all groups (group-aware attention for tiled triplanes).
+
+    Attention computes in f32 EVEN under a bf16 module (``f32_core``,
+    default on) WHEN the XLA core runs: the block is bandwidth-bound on
+    the (B, nh, T, T) score matrix, and under bf16 the f32-softmax casts
+    break XLA's matmul+softmax fusion — measured 0.27 ms f32 vs 1.00 ms
+    bf16 for the identical 32^2 block (PERF.md round 5, job13); bf16
+    operands buy nothing there because the score matmul accumulates f32
+    regardless.  The Pallas VMEM core does its own f32 softmax with no
+    XLA fusion to break, so under it the module keeps its bf16 dtype
+    (halves qkv/proj/transpose traffic)."""
     num_heads: int = 4
     groups: int = 1
     norm_groups: int = 32
     dtype: Any = jnp.float32
+    f32_core: bool = True
+    # VMEM-resident Pallas attention core (ops/pallas/attention.py) when
+    # the token count warrants it and we are on TPU; measured 5.1x over
+    # the XLA core at the 32^2 level (0.115 vs 0.59 ms, PERF.md round 5)
+    attn_kernel: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -116,10 +142,15 @@ class SelfAttention(nn.Module):
         g, nh = self.groups, self.num_heads
         assert C % (g * nh) == 0, (C, g, nh)
         hd = C // (g * nh)  # per-head channel dim
-        h = _gn(self.norm_groups, 'norm')(x).astype(self.dtype).reshape(
+        use_kernel = (self.attn_kernel
+                      and vmem_attention_supported(g * T, hd)
+                      and jax.default_backend() == 'tpu')
+        cdtype = (jnp.float32 if self.f32_core and not use_kernel
+                  else self.dtype)
+        h = _gn(self.norm_groups, 'norm', cdtype)(x).astype(cdtype).reshape(
             B, T, C)
         x_flat = x.reshape(B, T, C)
-        qkv = nn.Conv(3 * C, (1,), feature_group_count=g, dtype=self.dtype,
+        qkv = nn.Conv(3 * C, (1,), feature_group_count=g, dtype=cdtype,
                       name='qkv')(h)
         # grouped conv output layout: g blocks of [q_i, k_i, v_i] (C/g each)
         qkv = qkv.reshape(B, T, g, 3, nh, hd)
@@ -128,21 +159,28 @@ class SelfAttention(nn.Module):
         q = q.transpose(0, 3, 2, 1, 4).reshape(B, nh, g * T, hd)
         k = k.transpose(0, 3, 2, 1, 4).reshape(B, nh, g * T, hd)
         v = v.transpose(0, 3, 2, 1, 4).reshape(B, nh, g * T, hd)
-        scale = 1.0 / np.sqrt(np.sqrt(hd))
-        weight = jnp.einsum('bhtc,bhsc->bhts', q * scale, k * scale,
-                            preferred_element_type=jnp.float32)
-        weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(x.dtype)
-        a = jnp.einsum('bhts,bhsc->bhtc', weight, v)
+        if use_kernel:
+            a = vmem_attention(
+                q.reshape(B * nh, g * T, hd), k.reshape(B * nh, g * T, hd),
+                v.reshape(B * nh, g * T, hd), 1.0 / float(np.sqrt(hd)))
+            a = a.reshape(B, nh, g * T, hd)
+        else:
+            scale = 1.0 / np.sqrt(np.sqrt(hd))
+            weight = jnp.einsum('bhtc,bhsc->bhts', q * scale, k * scale,
+                                preferred_element_type=jnp.float32)
+            weight = jax.nn.softmax(weight.astype(jnp.float32),
+                                    axis=-1).astype(cdtype)
+            a = jnp.einsum('bhts,bhsc->bhtc', weight, v)
         a = a.reshape(B, nh, g, T, hd).transpose(0, 3, 2, 1, 4).reshape(B, T, C)
         # ADM zero-module: proj starts at zero, so with the pre-norm
         # residual below the attention block is the identity at init.
         # (Without the zero init, the pre-norm residual destabilizes
         # training: measured 10x worse DDPM loss on the sphere validation.)
-        out = nn.Conv(C, (1,), feature_group_count=g, dtype=self.dtype,
+        out = nn.Conv(C, (1,), feature_group_count=g, dtype=cdtype,
                       kernel_init=nn.initializers.zeros, name='proj')(a)
         # residual adds the PRE-norm input (modules.py:39-48: ``h + x``
         # where x was reshaped before self.norm was applied)
-        return (out + x_flat).reshape(B, H, W, C)
+        return (out + x_flat).astype(x.dtype).reshape(B, H, W, C)
 
 
 class Downsample(nn.Module):
@@ -197,6 +235,8 @@ class DenoisingUnet(nn.Module):
     attention_res: Sequence[int] = (16, 8)
     # computation dtype ('float32' | 'bfloat16'); params and GroupNorm f32
     dtype: str = 'float32'
+    # VMEM Pallas attention core where supported (see SelfAttention)
+    attn_kernel: bool = True
 
     @nn.compact
     def __call__(self, x_t, t, concat_cond=None, deterministic=True):
@@ -224,7 +264,8 @@ class DenoisingUnet(nn.Module):
 
         def attn(name):
             return SelfAttention(self.num_heads, self.groups,
-                                 self.norm_groups, dtype=cdtype, name=name)
+                                 self.norm_groups, dtype=cdtype,
+                                 attn_kernel=self.attn_kernel, name=name)
 
         # ---- encoder ----
         h = nn.Conv(self.base_channels, (3, 3), padding=1, dtype=cdtype,
@@ -271,7 +312,7 @@ class DenoisingUnet(nn.Module):
 
         # ---- out: GN -> SiLU -> conv (order matches ConvModule
         # ('norm','act','conv') at denoising.py:178-187) ----
-        h = _gn(self.norm_groups, 'out_norm')(h).astype(cdtype)
+        h = _gn(self.norm_groups, 'out_norm', cdtype)(h).astype(cdtype)
         h = jax.nn.silu(h)
         # ADM zero-module: the prediction head starts at zero
         out = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=cdtype,

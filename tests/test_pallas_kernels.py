@@ -181,3 +181,37 @@ def test_triplane_decode_banded_matches_reference():
     for o, r, name in zip(outs, refs, 'sigma r g b'.split()):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=0, atol=3e-2, err_msg=name)
+
+
+# --------------------------------------------------------------------- #
+# VMEM attention core (ops/pallas/attention.py)
+# --------------------------------------------------------------------- #
+def test_vmem_attention_fwd_bwd_parity():
+    """Kernel fwd + custom-VJP bwd vs the XLA attention core."""
+    from ssdnerf_tpu.ops.pallas.attention import vmem_attention
+    rng = np.random.RandomState(7)
+    G, T, hd = 4, 512, 64
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (jnp.asarray(rng.randn(G, T, hd).astype(np.float32))
+               for _ in range(3))
+
+    def xla_core(q, k, v):
+        w = jnp.einsum('gtc,gsc->gts', q, k,
+                       preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(w, axis=-1)
+        return jnp.einsum('gts,gsc->gtc', w, v)
+
+    out = vmem_attention(q, k, v, scale, True)
+    ref = xla_core(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-4)
+
+    # grads of a scalar loss through both paths
+    gfn = jax.grad(lambda q, k, v:
+                   jnp.sum(jnp.sin(vmem_attention(q, k, v, scale, True))),
+                   argnums=(0, 1, 2))
+    rfn = jax.grad(lambda q, k, v: jnp.sum(jnp.sin(xla_core(q, k, v))),
+                   argnums=(0, 1, 2))
+    for g_, r_, name in zip(gfn(q, k, v), rfn(q, k, v), 'qkv'):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(r_),
+                                   rtol=0, atol=5e-4, err_msg=name)
