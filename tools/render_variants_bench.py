@@ -45,10 +45,10 @@ if scenario == 'uniform':
     occ = jax.random.uniform(key, (S, H ** 3)) < 0.10
     march_slots = None
 else:
-    lin = np.arange(H ** 3)
-    cx = np.stack([lin // (H * H), (lin // H) % H, lin % H], -1)
-    ctr = (cx - H / 2 + 0.5) / (H / 2)
-    occ = jnp.asarray((ctr ** 2).sum(-1) < 0.55 ** 2)[None].repeat(S, 0)
+    # the driver's pruned scenario (bench.py roughened ellipsoid), so
+    # A/B numbers here are directly comparable to BENCH_r*.json
+    from bench import _blob_occupancy
+    occ = jnp.asarray(_blob_occupancy(np, S, H))
     march_slots = 128
 bitfield = packbits(occ.astype(jnp.float32), 0.5)
 print(f'{scenario}: occupancy {float(occ.mean()):.3f}', flush=True)
