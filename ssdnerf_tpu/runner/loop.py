@@ -296,9 +296,14 @@ class Runner:
         except OSError:
             pass
         if self.cache is not None:
-            np.savez(os.path.join(self.work_dir, 'ckpt',
-                                  f'cache_rank{self.rank}.npz'),
-                     **self.cache.state_dict())
+            # versioned per checkpoint: an unversioned shared file lets a
+            # LATER save silently re-pair an older checkpoint with the
+            # newest bank on resume (caught by the round-5 soak bisect,
+            # where iter_2500.ckpt resumed with the iter-5000 bank)
+            np.savez(os.path.join(
+                self.work_dir, 'ckpt',
+                f'iter_{self.iteration}_cache_rank{self.rank}.npz'),
+                **self.cache.state_dict())
         self.log_text(f'Saved checkpoint to {path}')
 
     def prune_checkpoints(self, keep):
@@ -307,6 +312,10 @@ class Runner:
             key=lambda p: int(os.path.basename(p)[5:-5]))
         for p in ckpts[:-keep]:
             os.remove(p)
+            base = os.path.basename(p)[:-5]
+            for c in glob.glob(os.path.join(
+                    os.path.dirname(p), f'{base}_cache_rank*.npz')):
+                os.remove(c)
 
     def resume(self, path):
         state, iteration, _ = load_checkpoint(path, template=self.state)
@@ -314,8 +323,14 @@ class Runner:
         merged.update(state)
         self.state = merged
         self.iteration = iteration
-        cache_path = os.path.join(os.path.dirname(path),
-                                  f'cache_rank{self.rank}.npz')
+        base = os.path.basename(path)
+        cache_path = os.path.join(
+            os.path.dirname(path),
+            f'{base[:-5]}_cache_rank{self.rank}.npz' if base != 'latest.ckpt'
+            else f'iter_{iteration}_cache_rank{self.rank}.npz')
+        if not os.path.exists(cache_path):  # pre-round-5 layout
+            cache_path = os.path.join(os.path.dirname(path),
+                                      f'cache_rank{self.rank}.npz')
         if self.cache is not None and os.path.exists(cache_path):
             self.cache.load_state_dict(dict(np.load(cache_path)))
         # fast-forward the deterministic batch order so the resumed run

@@ -196,6 +196,24 @@ def test_train_model_end_to_end(srn_root, tmp_path):
     runner.resume(str(tmp_path / 'wd' / 'ckpt' / ckpt))
     assert runner.iteration == 3
 
+    # cache files are versioned per checkpoint: a LATER save must not
+    # re-pair an older checkpoint with the newest bank on resume (the
+    # round-5 soak bisect was poisoned by exactly this)
+    assert os.path.exists(str(tmp_path / 'wd' / 'ckpt'
+                              / 'iter_3_cache_rank0.npz'))
+    sd3 = {k: np.array(v) for k, v in runner.cache.state_dict().items()}
+    poisoned = dict(sd3)
+    poisoned['code_'] = np.full_like(sd3['code_'], 999.0)
+    runner.cache.load_state_dict(poisoned)
+    runner.iteration = 7
+    runner.save_checkpoint()
+    assert os.path.exists(str(tmp_path / 'wd' / 'ckpt'
+                              / 'iter_7_cache_rank0.npz'))
+    runner.resume(str(tmp_path / 'wd' / 'ckpt' / 'iter_3.ckpt'))
+    np.testing.assert_allclose(
+        np.asarray(runner.cache.state_dict()['code_'], np.float32),
+        np.asarray(sd3['code_'], np.float32))
+
 
 def test_fid_kid_math():
     from ssdnerf_tpu.core.evaluation import FIDKID
