@@ -345,8 +345,6 @@ def composite_packed(sigmas, rgb_ch, dts, ts, pvalid, prid, soffs,
     Gr = group_rays
     D = P // 8
     tau = jnp.where(pvalid, sigmas * dts, 0.0)
-    cum = jnp.cumsum(tau, axis=-1)
-    excl = cum - tau
 
     # All routing masks are BLOCK-granular: ``prid`` is constant within
     # 8-slot blocks and ``soffs`` is 8-aligned, so the (S, G, Gr, P) f32
@@ -356,20 +354,28 @@ def composite_packed(sigmas, rgb_ch, dts, ts, pvalid, prid, soffs,
     r_iota = jnp.arange(Gr, dtype=jnp.int32)
     bsel = (rid_b[..., None, :] == r_iota[:, None]).astype(jnp.float32)
 
-    # segment-start exclusive optical depth, per ray then per slot
-    exclB = excl[..., ::8]                                     # block starts
+    # Per-ray exclusive optical depth via a SEGMENTED scan (reset at each
+    # ray's 8-aligned segment start), NOT a group-wide cumsum minus a
+    # segment base: on trained scenes trunc_exp densities saturate
+    # (tau ~ 1e5/slot), the group cumsum reaches ~1e8 where f32 ulp is
+    # ~8, and the base subtraction's rounding error lands in the exp —
+    # exp(+60) blow-ups that NaN'd training the moment the flagship
+    # schedule turned pack_slots on (round-5 soak, bisected to this
+    # line).  The segmented scan keeps magnitudes per-ray (identical
+    # conditioning to the dense per-ray path) with no subtraction.
     db = jnp.arange(D, dtype=jnp.int32)
-    at_startB = ((soffs >> 3)[..., None] == db).astype(jnp.float32)
-    # HIGHEST on every one-hot contraction below: these are genuine MXU
-    # matmuls (contraction dims Gr/D), and default bf16 rounding of
-    # optical depths / weights moved device parity from 1.5e-4 to 3e-2.
-    # They are <1% of render time, so exactness is free.
-    HI = jax.lax.Precision.HIGHEST
-    base_r = jnp.einsum('sgrd,sgd->sgr', at_startB, exclB, precision=HI)
-    base_j = jnp.repeat(jnp.einsum('sgrd,sgr->sgd', bsel, base_r,
-                                   precision=HI), 8, axis=-1)
+    at_startB = ((soffs >> 3)[..., None] == db)                # (S,G,Gr,D)
+    slot0 = (jnp.arange(P, dtype=jnp.int32) % 8 == 0)
+    start = jnp.repeat(at_startB.any(-2), 8, axis=-1) & slot0[None, None]
 
-    T_excl = jnp.exp(-(excl - base_j))
+    def seg_op(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        return jnp.logical_or(f1, f2), jnp.where(f2, v2, v1 + v2)
+
+    _, incl = jax.lax.associative_scan(seg_op, (start, tau), axis=-1)
+    T_excl = jnp.exp(-(incl - tau))
+    HI = jax.lax.Precision.HIGHEST
     alpha = 1.0 - jnp.exp(-tau)
     alive = jax.lax.stop_gradient(T_excl) >= T_thresh
     weight = jnp.where(pvalid & alive, alpha * T_excl, 0.0)

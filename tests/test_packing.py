@@ -391,3 +391,59 @@ def test_fused_composite_render_matches_split():
         np.testing.assert_allclose(np.asarray(out_fc[k]),
                                    np.asarray(out[k]), atol=atol,
                                    err_msg=k)
+
+
+def test_composite_packed_saturated_densities_no_overflow():
+    """Trained scenes saturate trunc_exp (tau ~ 1e5/slot); the packed
+    composite must stay finite and match the dense per-ray composite.
+    The pre-round-5 group-cumsum-minus-base formulation lost ~60 in the
+    exponent to f32 cancellation here (exp(+60) weight blow-ups that
+    NaN'd the soak the moment pack_slots turned on)."""
+    from ssdnerf_tpu.ops import composite_rays
+    rng = np.random.RandomState(3)
+    S, R, K, Gr, P = 2, 32, 64, 16, 1024
+    n_valid = rng.randint(0, K + 1, (S, R))
+    comp_valid = np.arange(K) < n_valid[..., None]
+    # mix of empty / moderate / saturated slots like a trained surface
+    sig = (rng.rand(S, R, K) ** 4 * 3.3e6).astype(np.float32)
+    rgb = rng.rand(S, R, K, 3).astype(np.float32)
+    ts = np.sort(rng.rand(S, R, K).astype(np.float32) * 2, -1) + 0.5
+    dts = (rng.rand(S, R, K).astype(np.float32) * 0.05 + 0.002)
+    comp_step = np.broadcast_to(np.arange(K, dtype=np.float32), (S, R, K))
+
+    ws_d, dep_d, img_d = composite_rays(
+        jnp.asarray(sig), jnp.asarray(rgb), jnp.asarray(dts),
+        jnp.asarray(ts), jnp.asarray(comp_valid), 1e-4)
+
+    pstep, pvalid, prid, soffs = pack_groups(
+        jnp.asarray(comp_step), jnp.asarray(comp_valid), P, Gr)
+    G = R // Gr
+    ps = np.asarray(pstep).astype(np.int32)
+    pr = np.asarray(prid)
+    gathered = {}
+    for name, arr in dict(sig=sig, ts=ts, dts=dts).items():
+        a4 = arr.reshape(S, G, Gr, K)
+        out = np.zeros((S, G, P), np.float32)
+        for s in range(S):
+            for g in range(G):
+                out[s, g] = a4[s, g, pr[s, g], ps[s, g]]
+        gathered[name] = jnp.asarray(out)
+    rgb4 = rgb.reshape(S, G, Gr, K, 3)
+    rgb_ch = []
+    for c in range(3):
+        out = np.zeros((S, G, P), np.float32)
+        for s in range(S):
+            for g in range(G):
+                out[s, g] = rgb4[s, g, pr[s, g], ps[s, g], c]
+        rgb_ch.append(jnp.asarray(out))
+
+    ws_p, dep_p, img_p = composite_packed(
+        gathered['sig'], tuple(rgb_ch), gathered['dts'], gathered['ts'],
+        pvalid, prid, soffs, Gr, 1e-4)
+    assert np.isfinite(np.asarray(ws_p)).all()
+    assert float(np.asarray(ws_p).max()) <= 1.0 + 1e-4
+    np.testing.assert_allclose(np.asarray(ws_p), np.asarray(ws_d), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dep_p), np.asarray(dep_d),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_d),
+                               atol=1e-4)
