@@ -540,7 +540,14 @@ def _fwd_kernel_composite(x_ref, y_ref, z_ref, rid_ref, pt_ref, pdt_ref,
         pv = pv_ref[pl.ds(i, 1), :]
         pdt = pdt_ref[pl.ds(i, 1), :]
         pt = pt_ref[pl.ds(i, 1), :]
-        tau = jnp.where(pv > 0.5, jnp.exp(sig_raw) * pdt, 0.0)
+        # tau cap: exp(-60) is already 9e-27 (T dead either way, and
+        # alpha = 1 - exp(-60) == 1.0 exactly in f32), and capping tau
+        # bounds the group prefix-sum magnitude so the base subtraction
+        # below cannot lose the exponent to f32 cancellation on
+        # saturated trained scenes (the composite_packed round-5 NaN,
+        # ops/packing.py — there fixed with a segmented scan)
+        tau = jnp.minimum(
+            jnp.where(pv > 0.5, jnp.exp(sig_raw) * pdt, 0.0), 60.0)
         excl = _cumsum_lanes(tau, P) - tau
         # per-ray segment-start base WITHOUT matmuls: excl is a prefix sum
         # of tau >= 0, hence non-decreasing within a group, so the base of
