@@ -29,6 +29,16 @@ def composite_rays(sigmas, rgbs, dts, ts, valid, T_thresh=1e-4):
         weights_sum (..., ), depth (..., ), image (..., 3).
     """
     tau = jnp.where(valid, sigmas * dts, 0.0)                  # optical depth
+    # Cap per-sample optical depth: trunc_exp's FORWARD is unbounded
+    # (matching the CUDA TruncExp), so a density spike past sig_raw ~ 88
+    # makes tau = inf in f32 — and every exclusive-cumsum formulation
+    # then computes inf - inf = NaN, where the reference's multiplicative
+    # per-sample loop (T *= expf(-tau)) just underflows T to 0.  At
+    # tau = 60, alpha == 1.0 exactly in f32 and exp(-60) = 9e-27 kills
+    # any T below every threshold, so the cap is semantics-preserving;
+    # it turned a one-step all-NaN training collapse into a recoverable
+    # spike (round-5 soak, iter ~3650).
+    tau = jnp.minimum(tau, 60.0)
     cum = jnp.cumsum(tau, axis=-1)
     T_excl = jnp.exp(-(cum - tau))                             # T before sample k
     alpha = 1.0 - jnp.exp(-tau)

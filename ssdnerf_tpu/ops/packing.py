@@ -345,6 +345,10 @@ def composite_packed(sigmas, rgb_ch, dts, ts, pvalid, prid, soffs,
     Gr = group_rays
     D = P // 8
     tau = jnp.where(pvalid, sigmas * dts, 0.0)
+    # inf guard, same as ops/compositing.py: unbounded trunc_exp can
+    # make tau = inf, and the segmented scan's incl - tau would be
+    # inf - inf = NaN; tau = 60 is exactly equivalent in f32
+    tau = jnp.minimum(tau, 60.0)
 
     # All routing masks are BLOCK-granular: ``prid`` is constant within
     # 8-slot blocks and ``soffs`` is 8-aligned, so the (S, G, Gr, P) f32

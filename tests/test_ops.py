@@ -286,3 +286,25 @@ def test_compact_samples_matches_dense_composite():
         for a, b in zip(d, c):
             np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
                                        err_msg=f'dt_gamma={dt_gamma}')
+
+
+def test_composite_inf_density_stays_finite():
+    """Unbounded trunc_exp can hand the composite tau = inf; the
+    exclusive-cumsum formulation must not produce inf - inf = NaN
+    (round-5 soak collapse at a density spike).  The capped tau is
+    exactly equivalent in f32: alpha == 1 at the spike, T == 0 after."""
+    from ssdnerf_tpu.ops import composite_rays
+    sig = jnp.array([[1.0, np.inf, 5.0, 2.0]], jnp.float32)
+    rgb = jnp.ones((1, 4, 3), jnp.float32) * 0.5
+    dts = jnp.full((1, 4), 0.01, jnp.float32)
+    ts = jnp.array([[0.5, 0.6, 0.7, 0.8]], jnp.float32)
+    valid = jnp.ones((1, 4), bool)
+    ws, dep, img = composite_rays(sig, rgb, dts, ts, valid, 1e-4)
+    assert np.isfinite(np.asarray(ws)).all()
+    assert np.isfinite(np.asarray(dep)).all()
+    assert np.isfinite(np.asarray(img)).all()
+    # the inf sample absorbs everything that remains
+    assert abs(float(ws[0]) - 1.0) < 1e-5
+    # grads stay finite too
+    g = jax.grad(lambda s: composite_rays(s, rgb, dts, ts, valid)[0].sum())(sig)
+    assert np.isfinite(np.asarray(g)).all()
