@@ -142,9 +142,11 @@ class SelfAttention(nn.Module):
         g, nh = self.groups, self.num_heads
         assert C % (g * nh) == 0, (C, g, nh)
         hd = C // (g * nh)  # per-head channel dim
+        # 'axon' is the remote-TPU backend name (same gate as the
+        # renderer's _resolve_backend)
         use_kernel = (self.attn_kernel
                       and vmem_attention_supported(g * T, hd)
-                      and jax.default_backend() == 'tpu')
+                      and jax.default_backend() in ('tpu', 'axon'))
         cdtype = (jnp.float32 if self.f32_core and not use_kernel
                   else self.dtype)
         h = _gn(self.norm_groups, 'norm', cdtype)(x).astype(cdtype).reshape(
