@@ -76,7 +76,7 @@ class ResBlock(nn.Module):
         # bound (PERF.md: fwd at ~120 TFLOP/s moving ~12 GB), and without
         # these casts every GN re-upcast the activation stream to f32.
         in_channels = x.shape[-1]
-        h = _gn(self.norm_groups, 'norm_1', self.dtype)(x).astype(self.dtype)
+        h = _gn(self.norm_groups, 'norm_1', self.dtype)(x)
         h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     feature_group_count=self.groups, name='conv_1')(h)
@@ -132,8 +132,10 @@ class SelfAttention(nn.Module):
     f32_core: bool = True
     # VMEM-resident Pallas attention core (ops/pallas/attention.py) when
     # the token count warrants it and we are on TPU; measured 5.1x over
-    # the XLA core at the 32^2 level (0.115 vs 0.59 ms, PERF.md round 5)
-    attn_kernel: bool = True
+    # the XLA core at the 32^2 level (0.115 vs 0.59 ms, PERF.md round 5).
+    # True = auto (TPU only), False = XLA core, 'interpret' = run the
+    # kernel in interpret mode on any backend (CPU tests of this path).
+    attn_kernel: Any = True
 
     @nn.compact
     def __call__(self, x):
@@ -144,13 +146,14 @@ class SelfAttention(nn.Module):
         hd = C // (g * nh)  # per-head channel dim
         # 'axon' is the remote-TPU backend name (same gate as the
         # renderer's _resolve_backend)
-        use_kernel = (self.attn_kernel
+        interpret = self.attn_kernel == 'interpret'
+        use_kernel = (bool(self.attn_kernel)
                       and vmem_attention_supported(g * T, hd)
-                      and jax.default_backend() in ('tpu', 'axon'))
+                      and (interpret
+                           or jax.default_backend() in ('tpu', 'axon')))
         cdtype = (jnp.float32 if self.f32_core and not use_kernel
                   else self.dtype)
-        h = _gn(self.norm_groups, 'norm', cdtype)(x).astype(cdtype).reshape(
-            B, T, C)
+        h = _gn(self.norm_groups, 'norm', cdtype)(x).reshape(B, T, C)
         x_flat = x.reshape(B, T, C)
         qkv = nn.Conv(3 * C, (1,), feature_group_count=g, dtype=cdtype,
                       name='qkv')(h)
@@ -164,7 +167,8 @@ class SelfAttention(nn.Module):
         if use_kernel:
             a = vmem_attention(
                 q.reshape(B * nh, g * T, hd), k.reshape(B * nh, g * T, hd),
-                v.reshape(B * nh, g * T, hd), 1.0 / float(np.sqrt(hd)))
+                v.reshape(B * nh, g * T, hd), 1.0 / float(np.sqrt(hd)),
+                interpret)
             a = a.reshape(B, nh, g * T, hd)
         else:
             scale = 1.0 / np.sqrt(np.sqrt(hd))
@@ -237,8 +241,9 @@ class DenoisingUnet(nn.Module):
     attention_res: Sequence[int] = (16, 8)
     # computation dtype ('float32' | 'bfloat16'); params and GroupNorm f32
     dtype: str = 'float32'
-    # VMEM Pallas attention core where supported (see SelfAttention)
-    attn_kernel: bool = True
+    # VMEM Pallas attention core where supported (see SelfAttention;
+    # True / False / 'interpret')
+    attn_kernel: Any = True
 
     @nn.compact
     def __call__(self, x_t, t, concat_cond=None, deterministic=True):
@@ -314,7 +319,7 @@ class DenoisingUnet(nn.Module):
 
         # ---- out: GN -> SiLU -> conv (order matches ConvModule
         # ('norm','act','conv') at denoising.py:178-187) ----
-        h = _gn(self.norm_groups, 'out_norm', cdtype)(h).astype(cdtype)
+        h = _gn(self.norm_groups, 'out_norm', cdtype)(h)
         h = jax.nn.silu(h)
         # ADM zero-module: the prediction head starts at zero
         out = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=cdtype,

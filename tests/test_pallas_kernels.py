@@ -215,3 +215,26 @@ def test_vmem_attention_fwd_bwd_parity():
     for g_, r_, name in zip(gfn(q, k, v), rfn(q, k, v), 'qkv'):
         np.testing.assert_allclose(np.asarray(g_), np.asarray(r_),
                                    rtol=0, atol=5e-4, err_msg=name)
+
+
+def test_self_attention_kernel_path_interpret():
+    """The module-level kernel branch (reshapes, dtype selection,
+    residual) vs the XLA core, on CPU via attn_kernel='interpret' —
+    covers both plain and grouped (tiled-triplane) attention."""
+    from ssdnerf_tpu.models.architecture.unet import SelfAttention
+    rng = jax.random.PRNGKey(2)
+    for g, res, C in ((1, 32, 256), (3, 16, 768)):
+        at_k = SelfAttention(4, g, 32, attn_kernel='interpret')
+        at_x = SelfAttention(4, g, 32, attn_kernel=False)
+        x = jax.random.normal(rng, (2, res, res, C))
+        p = at_x.init(rng, x)
+        leaves, treedef = jax.tree_util.tree_flatten(p)
+        ks = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+        p = jax.tree_util.tree_unflatten(
+            treedef, [l + 0.05 * jax.random.normal(kk, l.shape, l.dtype)
+                      for l, kk in zip(leaves, ks)])
+        ok = at_k.apply(p, x)
+        ox = at_x.apply(p, x)
+        np.testing.assert_allclose(np.asarray(ok), np.asarray(ox),
+                                   rtol=0, atol=2e-4,
+                                   err_msg=f'g={g}')
